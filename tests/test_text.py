@@ -1,0 +1,152 @@
+"""Tokenizer + pinyin + glyph featurizer tests."""
+
+import numpy as np
+import pytest
+
+from realise_tpu.text.glyphs import build_glyph_table, render_vocab_font
+from realise_tpu.text.pinyin import (
+    Pinyin1Convertor,
+    Pinyin2Convertor,
+    pho1_convertor,
+    pho2_convertor,
+    tone3,
+)
+from realise_tpu.text.tokenizer import WordPieceTokenizer, is_chinese_char
+
+
+# ---------------------------------------------------------------- tokenizer
+def test_cjk_chars_split_individually(tokenizer):
+    toks = tokenizer.tokenize("你好吗")
+    assert toks == ["你", "好", "吗"]
+
+
+def test_wordpiece_continuation(tokenizer):
+    # 'worlding' -> 'world' + '##ing'
+    assert tokenizer.tokenize("worlding") == ["world", "##ing"]
+
+
+def test_unknown_char_maps_to_unk(tokenizer):
+    toks = tokenizer.tokenize("你Ω好")
+    assert toks == ["你", "[UNK]", "好"]
+
+
+def test_encode_adds_specials(tokenizer):
+    ids = tokenizer.encode("你好")
+    assert ids[0] == tokenizer.cls_token_id
+    assert ids[-1] == tokenizer.sep_token_id
+    assert len(ids) == 4
+
+
+def test_ids_tokens_roundtrip(tokenizer):
+    toks = ["你", "好", "world"]
+    ids = tokenizer.convert_tokens_to_ids(toks)
+    assert tokenizer.convert_ids_to_tokens(ids) == toks
+
+
+def test_punctuation_split(tokenizer):
+    # ',' splits into its own token (then maps to [UNK]: the synthetic vocab
+    # has no ASCII comma) rather than merging with neighbors.
+    assert tokenizer.tokenize("a,b") == ["a", "[UNK]", "b"]
+
+
+def test_save_load_roundtrip(tokenizer, tmp_path):
+    tokenizer.save_pretrained(str(tmp_path))
+    tok2 = WordPieceTokenizer.from_pretrained(str(tmp_path))
+    assert tok2.vocab == tokenizer.vocab
+
+
+def test_is_chinese_char():
+    assert is_chinese_char(ord("好"))
+    assert not is_chinese_char(ord("a"))
+    assert not is_chinese_char(ord("。"))  # CJK punctuation is not a CJK char
+
+
+# ------------------------------------------------------------------ pinyin
+def test_tone3_known_char():
+    assert tone3("好") == "hao3"
+    assert tone3("的") == "de5"
+
+
+def test_tone3_unknowns():
+    assert tone3("[UNK]") == "U"
+    assert tone3("a") == "U" or tone3("a")[-1] in "12345"  # non-CJK -> U (table fallback)
+    assert tone3("##ing") == "U"
+
+
+def test_pho1_vocab_size_is_65():
+    assert pho1_convertor.get_pho_size() == 65
+
+
+def test_pho1_split():
+    conv = Pinyin1Convertor()
+    assert conv.get_pinyin("好") == ("h", "ao", "3")
+    # zh is a two-letter initial and must win over z.
+    assert conv.get_pinyin("中") == ("zh", "ong", "1")
+    # 爱 ai4 has no initial.
+    assert conv.get_pinyin("爱") == ("[NULL]", "ai", "4")
+    # 嗯 special case (reference src/utils.py:25): initial NULL, final en, tone 2.
+    assert conv.get_pinyin("嗯") == ("[NULL]", "en", "2")
+
+
+def test_pho1_convert_unk():
+    conv = Pinyin1Convertor()
+    ids = conv.convert(["[CLS]", "好"])
+    unk = conv.vocab["[UNK]"]
+    assert ids[0] == (unk, unk, unk)
+    assert ids[1] == (conv.vocab["h"], conv.vocab["ao"], conv.vocab["3"])
+
+
+def test_pho2_vocab_size_is_33():
+    assert pho2_convertor.get_pho_size() == 33
+
+
+def test_pho2_tone_first():
+    conv = Pinyin2Convertor()
+    assert conv.get_pinyin("好") == "3hao"
+    assert conv.get_pinyin("x") == "U"
+
+
+def test_pho2_convert_shapes_and_padding():
+    conv = Pinyin2Convertor(max_len=8)
+    ids, lens = conv.convert(["好", "[PAD]", "中"])
+    assert ids.shape == (3, 8)
+    assert lens.tolist() == [4, 1, 6]  # '3hao', 'U', '1zhong'
+    # '3hao' = tone then letters; padding is id 0 ('P').
+    assert ids[0, 0] == conv.vocab["3"]
+    assert ids[0, 4:].tolist() == [0, 0, 0, 0]
+    assert ids[1, 0] == conv.vocab["U"]
+
+
+def test_pho2_ids_in_range():
+    conv = Pinyin2Convertor()
+    ids, _ = conv.convert(["你", "好", "吗", "zz"])
+    assert ids.min() >= 0 and ids.max() < 33
+
+
+# ------------------------------------------------------------------ glyphs
+def test_render_vocab_font_normalized():
+    vocab = ["[PAD]", "好", "中", "a"]
+    imgs = render_vocab_font(vocab)
+    assert imgs.shape == (4, 32, 32)
+    assert np.isfinite(imgs).all()
+    # Global normalization over the whole tensor.
+    assert abs(imgs.mean()) < 1e-5
+    assert abs(imgs.std() - 1.0) < 1e-5
+    # Non-renderable entries are (normalized) constants, CJK chars vary.
+    assert imgs[1].std() > 0
+
+
+def test_procedural_glyphs_deterministic_and_distinct():
+    vocab = ["好", "中"]
+    a = render_vocab_font(vocab)
+    b = render_vocab_font(vocab)
+    np.testing.assert_array_equal(a, b)
+    assert not np.array_equal(a[0], a[1])
+
+
+def test_build_glyph_table_multifont():
+    vocab = ["[PAD]", "好", "国"]
+    table = build_glyph_table(vocab, num_fonts=3, use_traditional_font=True)
+    assert table.shape == (3, 3, 32, 32)
+    # Traditional channel of 国 (→國) must differ from simplified channel.
+    assert not np.array_equal(table[2, 0], table[2, 2])
