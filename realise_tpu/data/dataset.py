@@ -1,0 +1,152 @@
+"""Dataset IO, batching and host→device prefetch.
+
+The runtime dataset format is the reference's flat pickle: a list of
+per-example dicts ``{id, src, tgt, tokens_size, src_idx, tgt_idx, lengths}``
+(reference: process_data.py:38-45; consumed by run.py:63-66). We read and
+write that format unchanged so existing ReaLiSe data drops in.
+
+Sharding for data parallelism slices each *batch* across processes instead of
+the reference's strided whole-dataset shard that silently drops the tail
+``len % world_size`` examples (run.py:128-137 — a bug we don't replicate;
+short final batches are padded to full shape instead).
+"""
+
+from __future__ import annotations
+
+import pickle
+import random
+from typing import Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+def load_pkl_dataset(path: str) -> List[Dict]:
+    with open(path, "rb") as f:
+        data = pickle.load(f)
+    if not isinstance(data, list):
+        raise ValueError(f"{path}: expected a list of example dicts")
+    for ex in data[:16]:
+        # The reference's own format invariants (process_data.py:33-36).
+        assert len(ex["src_idx"]) == len(ex["tgt_idx"]), ex.get("id")
+        assert ex["lengths"] + 2 == len(ex["tgt_idx"]), ex.get("id")
+        assert ex["lengths"] == len(ex["tokens_size"]), ex.get("id")
+    return data
+
+
+def save_pkl_dataset(data: List[Dict], path: str) -> None:
+    with open(path, "wb") as f:
+        pickle.dump(data, f)
+
+
+def pad_examples(examples: List[Dict], batch_size: int) -> List[Dict]:
+    """Repeat the last example to fill a short batch (static shapes for jit);
+    callers use ``lengths``/ids of the first len(examples) rows only."""
+    out = list(examples)
+    while len(out) < batch_size:
+        out.append(examples[-1])
+    return out
+
+
+def batch_iterator(
+    dataset: Sequence[Dict],
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_remainder: bool = False,
+    pad_final: bool = True,
+) -> Iterator[List[Dict]]:
+    order = list(range(len(dataset)))
+    if shuffle:
+        random.Random(seed).shuffle(order)
+    for i in range(0, len(order), batch_size):
+        idx = order[i : i + batch_size]
+        if len(idx) < batch_size:
+            if drop_remainder:
+                return
+            batch = [dataset[j] for j in idx]
+            if pad_final:
+                batch = pad_examples(batch, batch_size)
+            yield batch
+        else:
+            yield [dataset[j] for j in idx]
+
+
+# --------------------------------------------------------------------------
+def synthetic_dataset(
+    tokenizer,
+    num_examples: int = 64,
+    min_len: int = 4,
+    max_len: int = 12,
+    error_rate: float = 0.15,
+    seed: int = 0,
+) -> List[Dict]:
+    """Generate a synthetic CSC dataset from the tokenizer's CJK vocab.
+
+    Targets are random CJK sentences; sources corrupt ~error_rate of the
+    positions with a different random CJK char — the same supervision shape
+    as SIGHAN without the corpus. Used by tests, smoke CLIs and the bench.
+    """
+    from realise_tpu.data.features import make_example
+    from realise_tpu.text.tokenizer import is_chinese_char
+
+    rng = random.Random(seed)
+    cjk = [t for t in tokenizer.vocab
+           if len(t) == 1 and is_chinese_char(ord(t))]
+    if len(cjk) < 8:
+        raise ValueError("tokenizer vocab has too few CJK chars")
+    data = []
+    for n in range(num_examples):
+        length = rng.randint(min_len, max_len)
+        tgt = [rng.choice(cjk) for _ in range(length)]
+        src = list(tgt)
+        for i in range(length):
+            if rng.random() < error_rate:
+                src[i] = rng.choice(cjk)
+        data.append(make_example(f"{10000 + n}", "".join(src), "".join(tgt),
+                                 tokenizer))
+    return data
+
+
+def dataset_labels(dataset: Sequence[Dict]) -> List[str]:
+    """Gold label lines (``id, pos, char, ...``) from src/tgt texts —
+    the build_lbl.py equivalent (data_process/build_lbl.py)."""
+    lines = []
+    for ex in dataset:
+        edits = []
+        for i, (a, b) in enumerate(zip(ex["src"], ex["tgt"]), start=1):
+            if a != b:
+                edits.append(f"{i}, {b}")
+        if edits:
+            lines.append(f"{ex['id']}, " + ", ".join(edits))
+        else:
+            lines.append(f"{ex['id']}, 0")
+    return lines
+
+
+def prefetch_to_device(iterator, size: int = 2):
+    """Double-buffered host→device transfer: keep ``size`` batches in flight.
+
+    The TPU-native replacement for the reference's thread+CUDA-stream
+    prefetcher (run_speedup.py:64-122) — jax transfers are already async, so
+    a simple lookahead queue suffices (and has no queue.empty() race,
+    run_speedup.py:190).
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def enqueue(n):
+        for _ in range(n):
+            try:
+                host, device = next(iterator)
+            except StopIteration:
+                return
+            queue.append((host, jax.device_put(device)))
+
+    enqueue(size)
+    while queue:
+        host, device = queue.popleft()
+        enqueue(1)
+        yield host, device

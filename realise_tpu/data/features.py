@@ -1,0 +1,148 @@
+"""Ahead-of-time featurization: examples → fixed-shape arrays.
+
+The reference featurizes on the CPU *inside the training loop*: every step it
+pads/truncates (run.py:68-101) and then runs the tokenizer + pypinyin over
+every token of the batch (``build_batch``, src/models.py:797-804) — B·S=2048
+pypinyin calls per step, its acknowledged input bottleneck (the experimental
+thread-prefetch runner run_speedup.py:64-122 exists to hide it).
+
+The TPU design removes the work instead of hiding it: pinyin features depend
+only on the *token id*, so we precompute one (V, P) pinyin-id table + (V,)
+length table per vocabulary, and per-batch featurization is a numpy gather —
+``pho_idx = table[src_idx]`` — exactly equal to the reference's per-token
+conversion, at O(1) python cost. Example → array layout matches the reference
+batch contract (run.py:68-101):
+
+    src_idx/tgt_idx  (B, S) int32, zero-padded
+    masks            (B, S) int32, 1 on [CLS]+sentence+[SEP]
+    loss_masks       (B, S) int32, 1 on sentence positions 1..length
+    pho_idx          (B, S, P) int32   (pho2 models)
+    pho_lens         (B, S) int32
+    pho1_idx         (B, S, 3) int32   (pho1 models)
+
+plus passthrough python fields (id, src, tgt, tokens_size, lengths) used by
+the metric writer.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from realise_tpu.config import RealiseConfig
+from realise_tpu.text.pinyin import Pinyin1Convertor, Pinyin2Convertor
+from realise_tpu.text.tokenizer import WordPieceTokenizer
+
+
+def make_example(sid: str, src: str, tgt: str, tokenizer: WordPieceTokenizer) -> Dict:
+    """Build one dataset example in the reference pkl schema
+    (process_data.py:33-36: len(src_idx)==len(tgt_idx)==lengths+2,
+    lengths==len(tokens_size))."""
+    src_tokens = tokenizer.tokenize(src)
+    tgt_tokens = tokenizer.tokenize(tgt)
+    # CSC is char-aligned; enforce equal token counts.
+    if len(src_tokens) != len(tgt_tokens):
+        raise ValueError(
+            f"source/target token mismatch for {sid}: "
+            f"{len(src_tokens)} vs {len(tgt_tokens)}")
+    tokens_size = []
+    for t in src_tokens:
+        if t == tokenizer.unk_token:
+            tokens_size.append(1)
+        elif t.startswith("##"):
+            tokens_size.append(len(t) - 2)
+        else:
+            tokens_size.append(len(t))
+    src_idx = tokenizer.convert_tokens_to_ids(
+        [tokenizer.cls_token] + src_tokens + [tokenizer.sep_token])
+    tgt_idx = tokenizer.convert_tokens_to_ids(
+        [tokenizer.cls_token] + tgt_tokens + [tokenizer.sep_token])
+    return {
+        "id": sid,
+        "src": src,
+        "tgt": tgt,
+        "tokens_size": tokens_size,
+        "src_idx": src_idx,
+        "tgt_idx": tgt_idx,
+        "lengths": len(src_tokens),
+    }
+
+
+class Featurizer:
+    """Vocab-level pinyin tables + batch assembly."""
+
+    def __init__(self, tokenizer: WordPieceTokenizer, cfg: RealiseConfig):
+        self.tokenizer = tokenizer
+        self.cfg = cfg
+        self._pho2_table: Optional[np.ndarray] = None
+        self._pho2_lens: Optional[np.ndarray] = None
+        self._pho1_table: Optional[np.ndarray] = None
+
+    # ---- vocab tables -----------------------------------------------------
+    def pho2_tables(self):
+        """(V, P) pinyin char ids + (V,) lens for every vocab token."""
+        if self._pho2_table is None:
+            conv = Pinyin2Convertor(max_len=self.cfg.pho2_max_len)
+            vocab = self.tokenizer.convert_ids_to_tokens(
+                range(len(self.tokenizer)))
+            self._pho2_table, self._pho2_lens = conv.convert(vocab)
+        return self._pho2_table, self._pho2_lens
+
+    def pho1_table(self):
+        """(V, 3) initial/final/tone ids for every vocab token."""
+        if self._pho1_table is None:
+            conv = Pinyin1Convertor()
+            vocab = self.tokenizer.convert_ids_to_tokens(
+                range(len(self.tokenizer)))
+            self._pho1_table = np.asarray(conv.convert(vocab), dtype=np.int32)
+        return self._pho1_table
+
+    # ---- batch assembly ---------------------------------------------------
+    def featurize(self, examples: Sequence[Dict],
+                  with_labels: bool = True) -> Dict:
+        """Examples → fixed-shape arrays + passthrough fields."""
+        cfg = self.cfg
+        s = cfg.max_seq_length
+        b = len(examples)
+        src_idx = np.zeros((b, s), dtype=np.int32)
+        tgt_idx = np.zeros((b, s), dtype=np.int32)
+        masks = np.zeros((b, s), dtype=np.int32)
+        loss_masks = np.zeros((b, s), dtype=np.int32)
+
+        for i, ex in enumerate(examples):
+            seq = ex["src_idx"][:s]
+            src_idx[i, : len(seq)] = seq
+            masks[i, : len(seq)] = 1
+            tseq = ex["tgt_idx"][:s]
+            tgt_idx[i, : len(tseq)] = tseq
+            # loss positions 1..length (excl [CLS]/[SEP], run.py:87-92).
+            upper = min(1 + ex["lengths"], s)
+            loss_masks[i, 1:upper] = 1
+
+        batch = {
+            "id": [ex["id"] for ex in examples],
+            "src": [ex["src"] for ex in examples],
+            "tgt": [ex["tgt"] for ex in examples],
+            "tokens_size": [ex["tokens_size"] for ex in examples],
+            "lengths": np.asarray([ex["lengths"] for ex in examples], np.int32),
+            "src_idx": src_idx,
+            "masks": masks,
+            "loss_masks": loss_masks,
+        }
+        if with_labels:
+            batch["tgt_idx"] = tgt_idx
+
+        if cfg.pho_encoder == "pho2":
+            table, lens = self.pho2_tables()
+            batch["pho_idx"] = table[src_idx]        # (B, S, P) gather
+            batch["pho_lens"] = lens[src_idx]        # (B, S)
+        elif cfg.pho_encoder == "pho1":
+            batch["pho1_idx"] = self.pho1_table()[src_idx]  # (B, S, 3)
+        return batch
+
+    def device_batch(self, batch: Dict) -> Dict[str, np.ndarray]:
+        """Strip host-only fields; what remains goes to the device."""
+        keep = {"src_idx", "tgt_idx", "masks", "loss_masks",
+                "pho_idx", "pho_lens", "pho1_idx", "char_idx"}
+        return {k: v for k, v in batch.items() if k in keep}

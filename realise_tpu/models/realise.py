@@ -1,0 +1,511 @@
+"""The unified ReaLiSe model family.
+
+One configurable pure-functional model expresses the reference's whole zoo
+(reference: src/run.py:40-51 maps 10 model-type strings to 10 near-identical
+torch classes; src/models_abla.py proves they are one architecture behind
+flags). Wiring is selected by :class:`realise_tpu.config.RealiseConfig`:
+
+* semantic stream: N-layer BERT over ``src_idx`` (src/models.py:816),
+* phonetic stream: pho1 (initial/final/tone embedding sum → pho BERT,
+  src/models.py:75-161) or pho2 (pinyin-char GRU → pho BERT,
+  src/models.py:818-827),
+* graphic stream: glyph gather → CharResNet → LayerNorm
+  (src/models.py:829-838),
+* fusion: gate / softmax-gate / sum / concat-integrate (src/models.py:840-850,
+  :1144-1148, src/models_abla.py:246-279, src/models.py:228-233),
+* output block: K-layer BERT on fused states with position ids forced to 0
+  for arch3/4 (src/models.py:852-854),
+* head: classifier tied to the word embeddings (src/models.py:700-701) or an
+  untied MLM head (src/models.py:912).
+
+Parameters and mutable state are plain pytrees:
+
+    params = {bert, pho?, res?, fusion?, output_block?, head}
+    state  = {char_images: (V,F,32,32) frozen glyphs, resnet: BN stats}
+
+Weight tying is structural — the classifier *reads*
+``params['bert']['embeddings']['word_embeddings']`` directly, so there is
+nothing to re-tie after checkpoint surgery (the reference must call
+``tie_cls_weight()`` manually after every load, src/run.py:431).
+
+Inference fast path: per-token GRU hiddens and glyph features depend only on
+the token id, so at inference they are precomputed once into (V, H) tables
+(:func:`precompute_inference_tables`) and the per-step work collapses to two
+gathers — the conv stack and the GRU scan disappear entirely from the serving
+hot loop. This is a TPU-first redesign, not a port: the reference re-convolves
+B·S=4096 glyph images every step even in eval (src/models.py:829-838).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from realise_tpu.config import PHO1_VOCAB_SIZE, PHO2_VOCAB_SIZE, RealiseConfig
+from realise_tpu.ops.bert import (
+    attention_bias_from_mask,
+    bert_encoder,
+    bert_model,
+    init_bert_model,
+)
+from realise_tpu.ops.fusion import (
+    concat_fusion,
+    gate_fusion,
+    init_concat_fusion,
+    init_gate_fusion,
+    masked_mean_pool,
+    sum_fusion,
+)
+from realise_tpu.ops.gru import gru_last_hidden, init_gru
+from realise_tpu.ops.layers import (
+    ACTIVATIONS,
+    dense,
+    dropout,
+    embed,
+    init_dense,
+    init_embedding,
+    init_layer_norm,
+    layer_norm,
+    site_rng,
+)
+from realise_tpu.ops.resnet import char_resnet, init_char_resnet
+
+
+# ==========================================================================
+# Init
+# ==========================================================================
+def init_head(key, cfg: RealiseConfig):
+    if cfg.head == "linear_tied":
+        # Weight comes from the word embeddings; only the bias is owned here.
+        return {"bias": jnp.zeros((cfg.vocab_size,), jnp.float32)}
+    if cfg.head == "linear":
+        return {"classifier": init_dense(key, cfg.hidden_size, cfg.vocab_size,
+                                         cfg.initializer_range)}
+    if cfg.head == "mlm":
+        # dense → gelu → LN → untied decoder (+bias)
+        # (reference: modeling_bert.py:436-462 BertLMPredictionHead).
+        k1, k2 = jax.random.split(key)
+        return {
+            "transform": init_dense(k1, cfg.hidden_size, cfg.hidden_size,
+                                    cfg.initializer_range),
+            "layer_norm": init_layer_norm(cfg.hidden_size),
+            "decoder": init_dense(k2, cfg.hidden_size, cfg.vocab_size,
+                                  cfg.initializer_range),
+        }
+    raise ValueError(f"unknown head {cfg.head!r}")
+
+
+def apply_head(params, cfg: RealiseConfig, hidden: jax.Array,
+               word_embeddings: Optional[jax.Array]) -> jax.Array:
+    if cfg.head == "linear_tied":
+        logits = jnp.matmul(hidden, word_embeddings.astype(hidden.dtype).T,
+                            preferred_element_type=hidden.dtype)
+        return logits + params["bias"].astype(hidden.dtype)
+    if cfg.head == "linear":
+        return dense(params["classifier"], hidden)
+    if cfg.head == "mlm":
+        h = ACTIVATIONS[cfg.hidden_act](dense(params["transform"], hidden))
+        h = layer_norm(params["layer_norm"], h, cfg.layer_norm_eps)
+        return dense(params["decoder"], h)
+    raise ValueError(f"unknown head {cfg.head!r}")
+
+
+def init_realise(key, cfg: RealiseConfig,
+                 glyphs: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+    """Build (params, state) for the configured model.
+
+    ``glyphs``: optional (V, num_fonts, 32, 32) frozen glyph tensor; when
+    absent a zero tensor placeholder is installed (fill via
+    realise_tpu.text.glyphs.build_glyph_table).
+    """
+    keys = jax.random.split(key, 8)
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+
+    params["bert"] = init_bert_model(keys[0], cfg, cfg.num_hidden_layers)
+
+    if cfg.pho_encoder == "pho2":
+        k_emb, k_gru = jax.random.split(keys[1])
+        params["pho"] = {
+            "embeddings": init_embedding(k_emb, PHO2_VOCAB_SIZE, cfg.hidden_size,
+                                         cfg.initializer_range),
+            "gru": init_gru(k_gru, cfg.hidden_size, cfg.hidden_size),
+            "model": init_bert_model(keys[2], cfg, cfg.pho_num_layers,
+                                     with_word=False),
+        }
+    elif cfg.pho_encoder == "pho1":
+        params["pho"] = {
+            "embeddings": init_embedding(keys[1], PHO1_VOCAB_SIZE, cfg.hidden_size,
+                                         cfg.initializer_range),
+            "model": init_bert_model(keys[2], cfg, cfg.pho_num_layers,
+                                     with_word=False),
+        }
+
+    if cfg.with_res:
+        res_params, res_state = init_char_resnet(keys[3], cfg.num_fonts,
+                                                 cfg.res_encoder, cfg.hidden_size)
+        params["res"] = {
+            "resnet": res_params,
+            "layer_norm": init_layer_norm(cfg.hidden_size),
+        }
+        state["resnet"] = res_state
+        if glyphs is None:
+            glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
+                                cfg.glyph_size, cfg.glyph_size), jnp.float32)
+        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
+
+    if cfg.fusion in ("gate", "softmax_gate"):
+        params["fusion"] = init_gate_fusion(keys[4], cfg.hidden_size,
+                                            cfg.num_streams)
+    elif cfg.fusion in ("merged", "concat"):
+        n = 2 if cfg.fusion == "merged" else cfg.num_streams
+        params["fusion"] = init_concat_fusion(keys[4], cfg.hidden_size, n)
+
+    if cfg.out_num_layers > 0:
+        params["output_block"] = init_bert_model(keys[5], cfg,
+                                                 cfg.out_num_layers,
+                                                 with_word=False)
+
+    params["head"] = init_head(keys[6], cfg)
+    return params, state
+
+
+def tie_cls_weight_noop():
+    """Parity shim for the reference API (src/run.py:431): tying is
+    structural here — the head always reads the live word embeddings."""
+    return None
+
+
+# ==========================================================================
+# Streams
+# ==========================================================================
+def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
+                 deterministic, rng, use_pallas,
+                 pho_table: Optional[jax.Array] = None) -> jax.Array:
+    """pinyin chars → GRU last hidden per token → pho BERT (B, S, H)."""
+    b, s = batch["src_idx"].shape
+    dtype = jnp.dtype(cfg.dtype)
+    if pho_table is not None:
+        # Inference fast path: (V, H) precomputed GRU hiddens.
+        gru_h = jnp.take(pho_table.astype(dtype), batch["src_idx"], axis=0)
+    else:
+        pho_idx = batch["pho_idx"].reshape(b * s, -1)
+        pho_lens = batch["pho_lens"].reshape(b * s)
+        emb = embed(params["embeddings"], pho_idx, dtype=dtype)
+        gru_h = gru_last_hidden(params["gru"], emb, pho_lens,
+                                use_pallas=use_pallas)
+        gru_h = gru_h.reshape(b, s, cfg.hidden_size)
+    return bert_model(params["model"], cfg, inputs_embeds=gru_h,
+                      attention_mask=attention_mask,
+                      deterministic=deterministic, rng=site_rng(rng, 11),
+                      use_pallas=use_pallas)
+
+
+def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
+                 deterministic, rng, use_pallas) -> jax.Array:
+    """sum of initial/final/tone embeddings → pho BERT (src/models.py:124-137)."""
+    dtype = jnp.dtype(cfg.dtype)
+    # pho1_idx: (B, S, 3) — one table, three lookups summed.
+    emb = embed(params["embeddings"], batch["pho1_idx"], dtype=dtype).sum(axis=2)
+    return bert_model(params["model"], cfg, inputs_embeds=emb,
+                      attention_mask=attention_mask,
+                      deterministic=deterministic, rng=site_rng(rng, 11),
+                      use_pallas=use_pallas)
+
+
+def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
+                res_table: Optional[jax.Array] = None):
+    """glyph gather → CharResNet → LN (src/models.py:829-838)."""
+    b, s = src_idx.shape
+    dtype = jnp.dtype(cfg.dtype)
+    if res_table is not None:
+        feats = jnp.take(res_table.astype(dtype), src_idx, axis=0)
+        new_state = state["resnet"]
+    else:
+        flat = src_idx.reshape(-1)
+        # (B·S, F, 32, 32) → NHWC
+        images = jnp.take(state["char_images"], flat, axis=0)
+        images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
+        feats, new_state = char_resnet(params["resnet"], state["resnet"],
+                                       images, train=train,
+                                       variant=cfg.res_encoder,
+                                       hidden_size=cfg.hidden_size)
+        feats = feats.reshape(b, s, cfg.hidden_size)
+    feats = layer_norm(params["layer_norm"], feats, cfg.layer_norm_eps)
+    return feats, new_state
+
+
+# ==========================================================================
+# Loss
+# ==========================================================================
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
+                         loss_mask: jax.Array) -> jax.Array:
+    """Mean CE over positions where loss_mask==1 (src/models.py:862-868),
+    accumulated in f32."""
+    logits32 = logits.astype(jnp.float32)
+    logz = jax.nn.logsumexp(logits32, axis=-1)
+    gold = jnp.take_along_axis(logits32, labels[..., None], axis=-1)[..., 0]
+    nll = logz - gold
+    m = loss_mask.astype(jnp.float32)
+    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+
+
+# ==========================================================================
+# Forward
+# ==========================================================================
+def apply_realise(
+    params: Dict,
+    state: Dict,
+    batch: Dict[str, jax.Array],
+    cfg: RealiseConfig,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    use_pallas: bool = False,
+    return_gates: bool = False,
+    inference_tables: Optional[Dict[str, jax.Array]] = None,
+) -> Dict[str, Any]:
+    """Forward pass. Returns {'logits', 'loss'?, 'state', 'gates'?}.
+
+    ``batch``: src_idx (B,S), masks (B,S), loss_masks (B,S), tgt_idx (B,S)?,
+    pho_idx (B,S,P) + pho_lens (B,S) for pho2, pho1_idx (B,S,3) for pho1 —
+    all fixed-shape int32 arrays (AOT featurized).
+    """
+    attention_mask = batch["masks"]
+    src_idx = batch["src_idx"]
+    dtype = jnp.dtype(cfg.dtype)
+    tables = inference_tables or {}
+
+    sem = bert_model(params["bert"], cfg, input_ids=src_idx,
+                     attention_mask=attention_mask,
+                     deterministic=deterministic, rng=site_rng(rng, 10),
+                     use_pallas=use_pallas)
+
+    streams = [sem]
+    if cfg.pho_encoder == "pho2":
+        streams.append(_pho2_stream(params["pho"], cfg, batch, attention_mask,
+                                    deterministic, rng, use_pallas,
+                                    pho_table=tables.get("pho")))
+    elif cfg.pho_encoder == "pho1":
+        streams.append(_pho1_stream(params["pho"], cfg, batch, attention_mask,
+                                    deterministic, rng, use_pallas))
+
+    new_state = state
+    if cfg.with_res:
+        res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
+                                          train, res_table=tables.get("res"))
+        streams.append(res_h)
+        new_state = dict(state)
+        new_state["resnet"] = res_bn_state
+
+    gates = None
+    if cfg.fusion == "baseline":
+        hiddens = sem
+    elif cfg.fusion in ("gate", "softmax_gate"):
+        out = gate_fusion(params["fusion"], streams, attention_mask,
+                          softmax_gate=(cfg.fusion == "softmax_gate"),
+                          use_pallas=use_pallas, return_gates=return_gates)
+        hiddens, gates = out if return_gates else (out, None)
+    elif cfg.fusion == "merged":
+        # pho+res summed into one auxiliary stream, then concat-integrate
+        # (src/models.py:382-511 SpellBertPho2Res).
+        aux = sum_fusion(streams[1:])
+        hiddens = concat_fusion(params["fusion"], [sem, aux])
+    elif cfg.fusion == "concat":
+        hiddens = concat_fusion(params["fusion"], streams)
+    elif cfg.fusion == "sum":
+        hiddens = sum_fusion(streams)
+    else:
+        raise ValueError(f"unknown fusion {cfg.fusion!r}")
+
+    if cfg.out_num_layers > 0:
+        position_ids = None
+        if cfg.zero_out_positions:
+            position_ids = jnp.zeros_like(src_idx)
+        hiddens = bert_model(params["output_block"], cfg,
+                             inputs_embeds=hiddens,
+                             attention_mask=attention_mask,
+                             position_ids=position_ids,
+                             deterministic=deterministic,
+                             rng=site_rng(rng, 12), use_pallas=use_pallas)
+
+    hiddens = dropout(hiddens, cfg.hidden_dropout_prob, deterministic,
+                      site_rng(rng, 13))
+    word = params["bert"]["embeddings"].get("word_embeddings", {}).get("embedding")
+    logits = apply_head(params["head"], cfg, hiddens, word)
+
+    out: Dict[str, Any] = {"logits": logits, "state": new_state}
+    if gates is not None:
+        out["gates"] = gates
+    if "tgt_idx" in batch:
+        out["loss"] = masked_cross_entropy(logits, batch["tgt_idx"],
+                                           batch["loss_masks"])
+    return out
+
+
+# ==========================================================================
+# Inference tables (serving fast path)
+# ==========================================================================
+def precompute_inference_tables(
+    params: Dict,
+    state: Dict,
+    cfg: RealiseConfig,
+    vocab_pho_idx: Optional[jax.Array] = None,
+    vocab_pho_lens: Optional[jax.Array] = None,
+    batch_size: int = 4096,
+) -> Dict[str, jax.Array]:
+    """Precompute per-vocab-id GRU hiddens and glyph features.
+
+    Both depend only on the token id, so at inference the GRU scan and the
+    conv stack reduce to (V, H) table gathers. ``vocab_pho_idx/lens``:
+    (V, P)/(V,) pinyin featurization of every vocab token (from
+    realise_tpu.data.features.featurize_vocab_pinyin).
+    """
+    tables: Dict[str, jax.Array] = {}
+    dtype = jnp.dtype(cfg.dtype)
+
+    if cfg.with_res:
+        glyphs = state["char_images"]
+        v = glyphs.shape[0]
+
+        def res_chunk(imgs):
+            imgs = jnp.transpose(imgs, (0, 2, 3, 1)).astype(dtype)
+            feats, _ = char_resnet(params["res"]["resnet"], state["resnet"],
+                                   imgs, train=False, variant=cfg.res_encoder,
+                                       hidden_size=cfg.hidden_size)
+            return feats
+
+        chunks = []
+        for i in range(0, v, batch_size):
+            chunks.append(jax.jit(res_chunk)(glyphs[i : i + batch_size]))
+        tables["res"] = jnp.concatenate(chunks, axis=0)
+
+    if cfg.pho_encoder == "pho2" and vocab_pho_idx is not None:
+        def pho_chunk(idx, lens):
+            emb = embed(params["pho"]["embeddings"], idx, dtype=dtype)
+            return gru_last_hidden(params["pho"]["gru"], emb, lens)
+
+        v = vocab_pho_idx.shape[0]
+        chunks = []
+        for i in range(0, v, batch_size):
+            chunks.append(jax.jit(pho_chunk)(vocab_pho_idx[i : i + batch_size],
+                                             vocab_pho_lens[i : i + batch_size]))
+        tables["pho"] = jnp.concatenate(chunks, axis=0)
+    return tables
+
+
+# ==========================================================================
+# Pretraining objectives
+# ==========================================================================
+def init_pretrain(key, cfg: RealiseConfig,
+                  glyphs: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+    """Params/state for the pho2 / res / pho2-res pretraining stages
+    (src/models.py:1286-1347, 1349-1488, 1174-1284)."""
+    keys = jax.random.split(key, 6)
+    params: Dict[str, Any] = {}
+    state: Dict[str, Any] = {}
+    if cfg.pho_encoder == "pho2":
+        k_emb, k_gru = jax.random.split(keys[0])
+        params["pho"] = {
+            "embeddings": init_embedding(k_emb, PHO2_VOCAB_SIZE, cfg.hidden_size,
+                                         cfg.initializer_range),
+            "gru": init_gru(k_gru, cfg.hidden_size, cfg.hidden_size),
+            "model": init_bert_model(keys[1], cfg, cfg.pho_num_layers,
+                                     with_word=False),
+        }
+    if cfg.with_res:
+        res_params, res_state = init_char_resnet(keys[2], cfg.num_fonts,
+                                                 cfg.res_encoder, cfg.hidden_size)
+        params["res"] = {"resnet": res_params}
+        state["resnet"] = res_state
+        if glyphs is None:
+            glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
+                                cfg.glyph_size, cfg.glyph_size), jnp.float32)
+        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
+        if cfg.pho_encoder == "pho2":
+            params["res"]["layer_norm"] = init_layer_norm(cfg.hidden_size)
+    params["head"] = init_head(keys[3], cfg)
+    return params, state
+
+
+def apply_pretrain(
+    params: Dict,
+    state: Dict,
+    batch: Dict[str, jax.Array],
+    cfg: RealiseConfig,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    train: bool = False,
+    use_pallas: bool = False,
+) -> Dict[str, Any]:
+    """Pretraining forward for pho2-pretrain / res-pretrain / pho2-res-pretrain.
+
+    * pho2-pretrain: recover char identity from pinyin alone — GRU hiddens →
+      pho BERT → MLM head; loss over ``loss_masks`` (Chinese chars of the
+      *target* sequence, reference: src/run_pretrain.py:56-69,
+      src/models.py:1318-1347).
+    * res-pretrain: classify a char from its glyph stack —
+      glyphs → CharResNet → dropout → linear; labels are the char ids
+      themselves (src/models.py:1473-1488, src/run_res_pretrain.py:45-54).
+    * pho2-res-pretrain: sum of GRU + glyph features → pho BERT → MLM head
+      (src/models.py:1174-1284).
+    """
+    dtype = jnp.dtype(cfg.dtype)
+    new_state = state
+
+    if cfg.model_type == "res-pretrain":
+        # batch: char_idx (N,) — single chars.
+        images = jnp.take(state["char_images"], batch["char_idx"], axis=0)
+        images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
+        feats, res_bn = char_resnet(params["res"]["resnet"], state["resnet"],
+                                    images, train=train, variant=cfg.res_encoder,
+                                       hidden_size=cfg.hidden_size)
+        new_state = dict(state)
+        new_state["resnet"] = res_bn
+        feats = dropout(feats, cfg.hidden_dropout_prob, deterministic,
+                        site_rng(rng, 1))
+        logits = apply_head(params["head"], cfg, feats, None)
+        out = {"logits": logits, "state": new_state}
+        if "char_idx" in batch:
+            n = batch["char_idx"].shape[0]
+            out["loss"] = masked_cross_entropy(
+                logits[:, None, :], batch["char_idx"][:, None],
+                jnp.ones((n, 1), jnp.int32))
+        return out
+
+    # pho2-pretrain / pho2-res-pretrain operate on full sequences.
+    b, s = batch["src_idx"].shape
+    attention_mask = batch["masks"]
+    pho_idx = batch["pho_idx"].reshape(b * s, -1)
+    pho_lens = batch["pho_lens"].reshape(b * s)
+    emb = embed(params["pho"]["embeddings"], pho_idx, dtype=dtype)
+    gru_h = gru_last_hidden(params["pho"]["gru"], emb, pho_lens,
+                            use_pallas=use_pallas)
+    hidden = gru_h.reshape(b, s, cfg.hidden_size)
+
+    if cfg.with_res:
+        flat = batch["src_idx"].reshape(-1)
+        images = jnp.take(state["char_images"], flat, axis=0)
+        images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
+        feats, res_bn = char_resnet(params["res"]["resnet"], state["resnet"],
+                                    images, train=train, variant=cfg.res_encoder,
+                                       hidden_size=cfg.hidden_size)
+        new_state = dict(state)
+        new_state["resnet"] = res_bn
+        feats = feats.reshape(b, s, cfg.hidden_size)
+        feats = layer_norm(params["res"]["layer_norm"], feats,
+                           cfg.layer_norm_eps)
+        hidden = hidden + feats
+
+    seq = bert_model(params["pho"]["model"], cfg, inputs_embeds=hidden,
+                     attention_mask=attention_mask,
+                     deterministic=deterministic, rng=site_rng(rng, 2),
+                     use_pallas=use_pallas)
+    logits = apply_head(params["head"], cfg, seq, None)
+    out = {"logits": logits, "state": new_state}
+    if "tgt_idx" in batch:
+        out["loss"] = masked_cross_entropy(logits, batch["tgt_idx"],
+                                           batch["loss_masks"])
+    return out

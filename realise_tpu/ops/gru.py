@@ -1,0 +1,83 @@
+"""Masked GRU over the pinyin-character axis.
+
+The reference runs a torch ``nn.GRU`` over per-token pinyin character
+sequences via ``pack_padded_sequence`` and keeps the final hidden state per
+sequence (reference: src/models.py:661-669,818-826). The TPU rendition is a
+``lax.scan`` over a *fixed* pinyin axis with per-step length masking:
+
+    h_t = t < len ? GRUCell(h_{t-1}, x_t) : h_{t-1}
+
+which yields exactly the last *valid* hidden state (pack_padded semantics)
+while keeping shapes static. The (B, S) token grid is folded into one batch
+axis of B·S independent sequences, so the three gate matmuls are large and
+MXU-friendly.
+
+Gate math follows the torch GRU cell definition (r/z/n gate order and the
+``r * (W_hn h + b_hn)`` placement), so torch checkpoints map directly onto
+``w_ih (H, 3H) / w_hh (H, 3H) / b_ih / b_hh`` after transposition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from realise_tpu.ops.layers import trunc_normal_init
+
+
+def init_gru(key, input_dim: int, hidden_dim: int, stddev: float = 0.02):
+    k1, k2 = jax.random.split(key)
+    return {
+        "w_ih": trunc_normal_init(k1, (input_dim, 3 * hidden_dim), stddev),
+        "w_hh": trunc_normal_init(k2, (hidden_dim, 3 * hidden_dim), stddev),
+        "b_ih": jnp.zeros((3 * hidden_dim,), jnp.float32),
+        "b_hh": jnp.zeros((3 * hidden_dim,), jnp.float32),
+    }
+
+
+def gru_cell(params, h: jax.Array, x: jax.Array) -> jax.Array:
+    """One torch-compatible GRU step. h: (N, H), x: (N, D) → (N, H)."""
+    dtype = x.dtype
+    gi = jnp.matmul(x, params["w_ih"].astype(dtype),
+                    preferred_element_type=dtype) + params["b_ih"].astype(dtype)
+    gh = jnp.matmul(h, params["w_hh"].astype(dtype),
+                    preferred_element_type=dtype) + params["b_hh"].astype(dtype)
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    return (1.0 - z) * n + z * h
+
+
+def gru_last_hidden(
+    params,
+    inputs: jax.Array,
+    lengths: jax.Array,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Run the GRU and return the last valid hidden state per sequence.
+
+    inputs: (N, P, D) padded sequences; lengths: (N,) valid step counts.
+    Returns (N, H). Sequences with length 0 return the zero state.
+    """
+    if use_pallas:
+        from realise_tpu.ops.pallas.gru import fused_gru_last_hidden
+
+        return fused_gru_last_hidden(params, inputs, lengths)
+
+    n, p, _ = inputs.shape
+    hidden_dim = params["w_hh"].shape[0]
+    h0 = jnp.zeros((n, hidden_dim), inputs.dtype)
+
+    def step(h, xs):
+        x_t, t = xs
+        h_new = gru_cell(params, h, x_t)
+        valid = (t < lengths)[:, None]
+        return jnp.where(valid, h_new, h), None
+
+    xs = (jnp.moveaxis(inputs, 1, 0), jnp.arange(p, dtype=lengths.dtype))
+    h_final, _ = jax.lax.scan(step, h0, xs)
+    return h_final

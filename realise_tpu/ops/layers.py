@@ -1,0 +1,104 @@
+"""Primitive layers as pure functions over parameter pytrees.
+
+No module framework: a "layer" is an ``init_*`` function returning a dict of
+arrays plus an apply function. This keeps the whole model a transparent
+pytree — trivial to shard with NamedSharding, to scan over, and to map
+torch checkpoints onto.
+
+Numerics policy: parameters live in ``param_dtype`` (f32 by default);
+activations are computed in ``dtype`` (bf16 on TPU) with layer norm, softmax
+and losses accumulated in f32 — the standard TPU mixed-precision recipe (no
+loss scaling needed, unlike the reference's apex AMP path, run.py:155-161).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def trunc_normal_init(key, shape, stddev: float = 0.02, dtype=jnp.float32):
+    """BERT-style initializer (reference: modeling_bert.py:487-506 uses
+    normal(0, initializer_range); we use the same)."""
+    return stddev * jax.random.normal(key, shape, dtype=dtype)
+
+
+# ------------------------------------------------------------------ dense
+def init_dense(key, in_dim: int, out_dim: int, stddev: float = 0.02, dtype=jnp.float32):
+    return {
+        "kernel": trunc_normal_init(key, (in_dim, out_dim), stddev, dtype),
+        "bias": jnp.zeros((out_dim,), dtype),
+    }
+
+
+def dense(params, x: jax.Array, dtype=None) -> jax.Array:
+    kernel = params["kernel"]
+    bias = params["bias"]
+    if dtype is not None:
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        bias = bias.astype(dtype)
+    return jnp.matmul(x, kernel, preferred_element_type=x.dtype) + bias
+
+
+# -------------------------------------------------------------- layer norm
+def init_layer_norm(dim: int, dtype=jnp.float32):
+    return {"scale": jnp.ones((dim,), dtype), "bias": jnp.zeros((dim,), dtype)}
+
+
+def layer_norm(params, x: jax.Array, eps: float = 1e-12) -> jax.Array:
+    """LayerNorm computed in f32 regardless of activation dtype."""
+    orig_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = x32.var(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(jnp.float32) + params["bias"].astype(jnp.float32)
+    return y.astype(orig_dtype)
+
+
+# -------------------------------------------------------------- embedding
+def init_embedding(key, num: int, dim: int, stddev: float = 0.02, dtype=jnp.float32):
+    return {"embedding": trunc_normal_init(key, (num, dim), stddev, dtype)}
+
+
+def embed(params, ids: jax.Array, dtype=None) -> jax.Array:
+    table = params["embedding"]
+    if dtype is not None:
+        table = table.astype(dtype)
+    return jnp.take(table, ids, axis=0)
+
+
+# ---------------------------------------------------------------- dropout
+def dropout(x: jax.Array, rate: float, deterministic: bool, rng: Optional[jax.Array]) -> jax.Array:
+    if deterministic or rate == 0.0:
+        return x
+    if rng is None:
+        raise ValueError("dropout requires an rng when not deterministic")
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+def site_rng(rng: Optional[jax.Array], salt: int) -> Optional[jax.Array]:
+    """Derive a per-dropout-site key deterministically from one step key."""
+    if rng is None:
+        return None
+    return jax.random.fold_in(rng, salt)
+
+
+# ------------------------------------------------------------- activations
+def gelu(x: jax.Array) -> jax.Array:
+    # Exact (erf-based) gelu, matching the reference's BERT 'gelu'
+    # (transformers/modeling_bert.py gelu = x * 0.5 * (1 + erf(x/sqrt(2)))).
+    return jax.nn.gelu(x, approximate=False)
+
+
+ACTIVATIONS = {
+    "gelu": gelu,
+    "relu": jax.nn.relu,
+    "gelu_new": lambda x: jax.nn.gelu(x, approximate=True),
+}

@@ -1,0 +1,159 @@
+"""CharResNet glyph encoder (the "See" stream).
+
+Re-implements the behavior of the reference's glyph CNN (reference:
+src/char_cnn.py:9-74): five stride-2 BasicBlocks taking a 32×32×F glyph to a
+768-vector (channels 64→128→256→512→768), where each BasicBlock is
+conv3×3-BN-ReLU-conv3×3-BN with a 1×1-conv-BN shortcut on shape change, plus
+the 4-block ``CharResNet1`` variant that flattens 192·2·2=768.
+
+TPU-native choices:
+
+* NHWC layout with HWIO conv kernels — the native layout for TPU convolution,
+* BatchNorm running statistics are explicit *state* threaded through apply
+  (the functional equivalent of torch's BN buffers); training mode returns
+  updated state, eval mode consumes frozen stats — this resolves the
+  reference's implicit train/eval BN handling under jit,
+* batch statistics are computed in f32 even under bf16 activations.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+BN_MOMENTUM = 0.1  # torch nn.BatchNorm2d default
+BN_EPS = 1e-5
+
+
+# ------------------------------------------------------------------- conv
+def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int):
+    fan_in = kh * kw * in_ch
+    std = (2.0 / fan_in) ** 0.5  # He init for ReLU nets
+    return {"kernel": std * jax.random.normal(key, (kh, kw, in_ch, out_ch), jnp.float32)}
+
+
+def conv2d(params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+    kernel = params["kernel"].astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x, kernel,
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )
+
+
+# ------------------------------------------------------------- batch norm
+def init_bn(ch: int):
+    params = {"scale": jnp.ones((ch,), jnp.float32), "bias": jnp.zeros((ch,), jnp.float32)}
+    state = {"mean": jnp.zeros((ch,), jnp.float32), "var": jnp.ones((ch,), jnp.float32)}
+    return params, state
+
+
+def batch_norm(
+    params, state, x: jax.Array, train: bool
+) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = x32.mean(axis=(0, 1, 2))
+        var = x32.var(axis=(0, 1, 2))
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        # torch tracks the *unbiased* variance in running stats.
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
+            "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
+    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    return y.astype(x.dtype), new_state
+
+
+# ------------------------------------------------------------ basic block
+def init_basic_block(key, in_ch: int, out_ch: int, stride: int):
+    k1, k2, k3 = jax.random.split(key, 3)
+    bn1_p, bn1_s = init_bn(out_ch)
+    bn2_p, bn2_s = init_bn(out_ch)
+    params = {
+        "conv1": init_conv(k1, 3, 3, in_ch, out_ch),
+        "bn1": bn1_p,
+        "conv2": init_conv(k2, 3, 3, out_ch, out_ch),
+        "bn2": bn2_p,
+    }
+    state = {"bn1": bn1_s, "bn2": bn2_s}
+    if stride != 1 or in_ch != out_ch:
+        bns_p, bns_s = init_bn(out_ch)
+        params["shortcut_conv"] = init_conv(k3, 1, 1, in_ch, out_ch)
+        params["shortcut_bn"] = bns_p
+        state["shortcut_bn"] = bns_s
+    return params, state
+
+
+def basic_block(params, state, x: jax.Array, stride: int, train: bool):
+    h, s1 = batch_norm(params["bn1"], state["bn1"], conv2d(params["conv1"], x, stride), train)
+    h = jax.nn.relu(h)
+    h, s2 = batch_norm(params["bn2"], state["bn2"], conv2d(params["conv2"], h, 1), train)
+    new_state = {"bn1": s1, "bn2": s2}
+    if "shortcut_conv" in params:
+        sc, s3 = batch_norm(
+            params["shortcut_bn"], state["shortcut_bn"],
+            conv2d(params["shortcut_conv"], x, stride, padding="VALID"), train)
+        new_state["shortcut_bn"] = s3
+    else:
+        sc = x
+    return jax.nn.relu(h + sc), new_state
+
+
+# ------------------------------------------------------------- the models
+def _channels(variant: str, hidden_size: int = 768):
+    """Channel plan scaled off the model width. At hidden_size=768 this is
+    exactly the reference's plan: CharResNet 64→128→256→512→768
+    (src/char_cnn.py:40-44) and CharResNet1 64→128→192→192 with a 2×2×192
+    flatten = 768 (src/char_cnn.py:61-73)."""
+    h = hidden_size
+    if variant == "resnet":
+        return [max(h // 12, 1), max(h // 6, 1), max(h // 3, 1),
+                max((2 * h) // 3, 1), h]
+    if variant == "resnet1":
+        assert h % 4 == 0, "resnet1 flattens 2x2 spatial; hidden must be /4"
+        return [max(h // 12, 1), max(h // 6, 1), h // 4, h // 4]
+    raise ValueError(f"unknown res encoder variant {variant!r}")
+
+
+def init_char_resnet(key, in_channels: int, variant: str = "resnet",
+                     hidden_size: int = 768):
+    chans = _channels(variant, hidden_size)
+    keys = jax.random.split(key, len(chans))
+    params, state = {}, {}
+    prev = in_channels
+    for i, (k, ch) in enumerate(zip(keys, chans)):
+        p, s = init_basic_block(k, prev, ch, stride=2)
+        params[f"block{i + 1}"] = p
+        state[f"block{i + 1}"] = s
+        prev = ch
+    return params, state
+
+
+def char_resnet(
+    params, state, x: jax.Array, train: bool = False, variant: str = "resnet",
+    hidden_size: int = 768,
+) -> Tuple[jax.Array, Dict]:
+    """(N, 32, 32, F) glyphs → (N, hidden) features (+ updated BN state).
+
+    CharResNet ends at 1×1 spatial (squeeze); CharResNet1 ends at 2×2×H/4 and
+    flattens (src/char_cnn.py:54,73).
+    """
+    chans = _channels(variant, hidden_size)
+    new_state = {}
+    h = x
+    for i in range(len(chans)):
+        name = f"block{i + 1}"
+        h, s = basic_block(params[name], state[name], h, stride=2, train=train)
+        new_state[name] = s
+    n = h.shape[0]
+    return h.reshape(n, -1), new_state

@@ -1,0 +1,115 @@
+"""Featurization + dataset IO tests."""
+
+import numpy as np
+import pytest
+
+from realise_tpu.config import config_for
+from realise_tpu.data.dataset import (
+    batch_iterator,
+    dataset_labels,
+    load_pkl_dataset,
+    save_pkl_dataset,
+    synthetic_dataset,
+)
+from realise_tpu.data.features import Featurizer, make_example
+
+
+def test_make_example_invariants(tokenizer):
+    ex = make_example("t1", "你好吗", "你好吗", tokenizer)
+    # The reference pkl invariants (process_data.py:33-36).
+    assert len(ex["src_idx"]) == len(ex["tgt_idx"])
+    assert ex["lengths"] + 2 == len(ex["src_idx"])
+    assert ex["lengths"] == len(ex["tokens_size"])
+    assert ex["src_idx"][0] == tokenizer.cls_token_id
+    assert ex["src_idx"][-1] == tokenizer.sep_token_id
+    assert ex["tokens_size"] == [1, 1, 1]
+
+
+def test_make_example_multichar_tokens(tokenizer):
+    ex = make_example("t2", "hello你", "hello你", tokenizer)
+    assert ex["tokens_size"][0] == 5  # 'hello' spans 5 source chars
+
+
+def test_featurizer_shapes(tokenizer):
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     max_seq_length=16)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=3, seed=0)
+    batch = feat.featurize(data)
+    assert batch["src_idx"].shape == (3, 16)
+    assert batch["pho_idx"].shape == (3, 16, cfg.pho2_max_len)
+    assert batch["pho_lens"].shape == (3, 16)
+    # loss mask covers positions 1..length only.
+    for i, ex in enumerate(data):
+        row = batch["loss_masks"][i]
+        assert row[0] == 0
+        assert row[1 : 1 + ex["lengths"]].all()
+        assert not row[1 + ex["lengths"] :].any()
+    # attention mask covers CLS + sentence + SEP.
+    assert batch["masks"][0].sum() == data[0]["lengths"] + 2
+
+
+def test_pho_gather_equals_per_token_conversion(tokenizer):
+    """The (V,P)-table gather must equal converting each token directly
+    (what the reference does per step, src/models.py:797-804)."""
+    from realise_tpu.text.pinyin import Pinyin2Convertor
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     max_seq_length=12)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=2, seed=3)
+    batch = feat.featurize(data)
+
+    conv = Pinyin2Convertor(max_len=cfg.pho2_max_len)
+    flat = batch["src_idx"].flatten().tolist()
+    chars = tokenizer.convert_ids_to_tokens(flat)
+    want_ids, want_lens = conv.convert(chars)
+    np.testing.assert_array_equal(
+        batch["pho_idx"].reshape(-1, cfg.pho2_max_len), want_ids)
+    np.testing.assert_array_equal(batch["pho_lens"].reshape(-1), want_lens)
+
+
+def test_pho1_features(tokenizer):
+    cfg = config_for("bert-pho1", vocab_size=len(tokenizer), max_seq_length=12)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=2, seed=4)
+    batch = feat.featurize(data)
+    assert batch["pho1_idx"].shape == (2, 12, 3)
+
+
+def test_pkl_roundtrip(tokenizer, tmp_path):
+    data = synthetic_dataset(tokenizer, num_examples=5, seed=5)
+    path = str(tmp_path / "data.pkl")
+    save_pkl_dataset(data, path)
+    loaded = load_pkl_dataset(path)
+    assert loaded == data
+
+
+def test_batch_iterator_pads_final_batch(tokenizer):
+    data = synthetic_dataset(tokenizer, num_examples=5, seed=6)
+    batches = list(batch_iterator(data, batch_size=2))
+    assert len(batches) == 3
+    assert all(len(b) == 2 for b in batches)
+    # No example lost (vs the reference's tail-dropping shard, run.py:134-137).
+    ids = {ex["id"] for b in batches for ex in b}
+    assert ids == {ex["id"] for ex in data}
+
+
+def test_dataset_labels(tokenizer):
+    data = synthetic_dataset(tokenizer, num_examples=8, seed=7)
+    labels = dataset_labels(data)
+    assert len(labels) == 8
+    for line, ex in zip(labels, data):
+        assert line.startswith(ex["id"])
+        if ex["src"] == ex["tgt"]:
+            assert line.endswith(", 0")
+
+
+def test_truncation_at_max_seq_length(tokenizer):
+    cfg = config_for("bert", vocab_size=len(tokenizer), max_seq_length=8)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=2, min_len=10,
+                             max_len=12, seed=8)
+    batch = feat.featurize(data)
+    assert batch["src_idx"].shape == (2, 8)
+    assert batch["loss_masks"][:, -1].tolist() == [1, 1]  # truncated fill

@@ -1,0 +1,154 @@
+"""Unified model tests: every zoo variant builds and runs; loss/fast-path
+semantics hold."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from realise_tpu.config import MODEL_PRESETS, config_for
+from realise_tpu.data.dataset import synthetic_dataset
+from realise_tpu.data.features import Featurizer
+from realise_tpu.models.realise import (
+    apply_pretrain,
+    apply_realise,
+    init_pretrain,
+    init_realise,
+    masked_cross_entropy,
+    precompute_inference_tables,
+)
+
+TINY = dict(vocab_size=0, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=2, intermediate_size=48, pho_num_layers=1,
+            max_seq_length=16, max_position_embeddings=32, num_fonts=2)
+
+
+@pytest.fixture(scope="module")
+def featurized(tokenizer):
+    cfg = config_for("bert-pho2-res-arch3",
+                     **{**TINY, "vocab_size": len(tokenizer)})
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=4, seed=1)
+    return cfg, feat.device_batch(feat.featurize(data))
+
+
+def _batch_for(cfg, tokenizer):
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=2, seed=2)
+    return feat.device_batch(feat.featurize(data))
+
+
+FINETUNE_TYPES = [t for t in MODEL_PRESETS if not t.endswith("pretrain")]
+
+
+@pytest.mark.parametrize("model_type", FINETUNE_TYPES)
+def test_every_zoo_variant_runs(model_type, tokenizer):
+    cfg = config_for(model_type, **{**TINY, "vocab_size": len(tokenizer)})
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    batch = _batch_for(cfg, tokenizer)
+    out = apply_realise(params, state, batch, cfg)
+    b, s = batch["src_idx"].shape
+    assert out["logits"].shape == (b, s, cfg.vocab_size)
+    assert jnp.isfinite(out["loss"]).item()
+
+
+def test_forward_deterministic(featurized):
+    cfg, batch = featurized
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    o1 = apply_realise(params, state, batch, cfg)
+    o2 = apply_realise(params, state, batch, cfg)
+    np.testing.assert_array_equal(np.asarray(o1["logits"]),
+                                  np.asarray(o2["logits"]))
+
+
+def test_gates_exposed(featurized):
+    cfg, batch = featurized
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    out = apply_realise(params, state, batch, cfg, return_gates=True)
+    b, s = batch["src_idx"].shape
+    assert out["gates"].shape == (b, s, 3)
+
+
+def test_tied_head_follows_word_embeddings(featurized):
+    """The classifier must read the live word embeddings (structural tying,
+    vs the reference's manual tie_cls_weight, src/models.py:700-701)."""
+    cfg, batch = featurized
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    out1 = apply_realise(params, state, batch, cfg)
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["bert"]["embeddings"]["word_embeddings"]["embedding"] = (
+        params["bert"]["embeddings"]["word_embeddings"]["embedding"] * 2.0)
+    out2 = apply_realise(params2, state, batch, cfg)
+    assert not np.allclose(np.asarray(out1["logits"]),
+                           np.asarray(out2["logits"]))
+
+
+def test_masked_cross_entropy_ignores_masked_positions():
+    logits = jnp.asarray(np.random.RandomState(0).randn(2, 4, 8), jnp.float32)
+    labels = jnp.zeros((2, 4), jnp.int32)
+    mask = jnp.array([[0, 1, 1, 0], [0, 1, 0, 0]], jnp.int32)
+    base = masked_cross_entropy(logits, labels, mask)
+    # Corrupt logits at masked-out positions: loss must not change.
+    corrupted = logits.at[:, 0].set(100.0).at[0, 3].set(-50.0)
+    same = masked_cross_entropy(corrupted, labels, mask)
+    np.testing.assert_allclose(float(base), float(same), rtol=1e-6)
+
+
+def test_inference_tables_match_full_forward(featurized, tokenizer):
+    """The gather-based serving path must produce identical logits to the
+    full conv+GRU eval path."""
+    cfg, batch = featurized
+    glyphs = np.random.RandomState(0).randn(
+        cfg.vocab_size, cfg.num_fonts, 32, 32).astype(np.float32)
+    params, state = init_realise(jax.random.PRNGKey(0), cfg, glyphs=glyphs)
+
+    feat = Featurizer(tokenizer, cfg)
+    vocab_pho_idx, vocab_pho_lens = feat.pho2_tables()
+    tables = precompute_inference_tables(
+        params, state, cfg,
+        vocab_pho_idx=jnp.asarray(vocab_pho_idx),
+        vocab_pho_lens=jnp.asarray(vocab_pho_lens))
+
+    slow = apply_realise(params, state, batch, cfg)
+    fast = apply_realise(params, state, batch, cfg, inference_tables=tables)
+    np.testing.assert_allclose(np.asarray(slow["logits"]),
+                               np.asarray(fast["logits"]), atol=2e-4)
+
+
+def test_loss_decreases_with_identity_labels(featurized):
+    """Sanity: loss on tgt==src with tied head should beat random labels."""
+    cfg, batch = featurized
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    out = apply_realise(params, state, batch, cfg)
+    rand_batch = dict(batch)
+    rand_batch["tgt_idx"] = (batch["tgt_idx"] * 7 + 13) % cfg.vocab_size
+    out_rand = apply_realise(params, state, rand_batch, cfg)
+    assert jnp.isfinite(out["loss"]) and jnp.isfinite(out_rand["loss"])
+
+
+# ------------------------------------------------------------- pretrain
+def test_pho2_pretrain_runs(tokenizer):
+    cfg = config_for("pho2-pretrain", **{**TINY, "vocab_size": len(tokenizer)})
+    params, state = init_pretrain(jax.random.PRNGKey(0), cfg)
+    batch = _batch_for(cfg, tokenizer)
+    out = apply_pretrain(params, state, batch, cfg)
+    assert jnp.isfinite(out["loss"]).item()
+
+
+def test_pho2_res_pretrain_runs(tokenizer):
+    cfg = config_for("pho2-res-pretrain", **{**TINY, "vocab_size": len(tokenizer)})
+    params, state = init_pretrain(jax.random.PRNGKey(0), cfg)
+    batch = _batch_for(cfg, tokenizer)
+    out = apply_pretrain(params, state, batch, cfg)
+    assert jnp.isfinite(out["loss"]).item()
+
+
+def test_res_pretrain_runs(tokenizer):
+    cfg = config_for("res-pretrain", **{**TINY, "vocab_size": len(tokenizer)})
+    glyphs = np.random.RandomState(1).randn(
+        cfg.vocab_size, cfg.num_fonts, 32, 32).astype(np.float32)
+    params, state = init_pretrain(jax.random.PRNGKey(0), cfg, glyphs=glyphs)
+    batch = {"char_idx": jnp.arange(8, dtype=jnp.int32)}
+    out = apply_pretrain(params, state, batch, cfg, train=True)
+    assert out["logits"].shape == (8, cfg.vocab_size)
+    assert jnp.isfinite(out["loss"]).item()
