@@ -1,0 +1,220 @@
+"""Shared CLI plumbing: args, tokenizer/glyph/mesh construction, evaluation.
+
+Flag names and semantics mirror the reference's argparse surface
+(reference: src/run.py:282-391) so existing train.sh/test.sh recipes
+translate directly; TPU-specific knobs (--mesh, --dtype, --use_pallas) and
+smoke-run knobs (--synthetic, --tiny) are additive.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from realise_tpu.config import RealiseConfig, config_for
+from realise_tpu.data.dataset import batch_iterator, dataset_labels, load_pkl_dataset, synthetic_dataset
+from realise_tpu.data.features import Featurizer
+from realise_tpu.eval.metric import Metric
+from realise_tpu.text.tokenizer import WordPieceTokenizer
+from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
+
+logger = logging.getLogger("realise_tpu")
+
+
+def setup_logging(verbose: bool = True):
+    logging.basicConfig(
+        level=logging.INFO if verbose else logging.WARNING,
+        format="%(asctime)s %(levelname)s %(name)s: %(message)s")
+
+
+def force_platform(platform: Optional[str]):
+    """--platform cpu/tpu override (the container pins an 'axon' TPU tunnel)."""
+    if platform:
+        import jax
+
+        os.environ["JAX_PLATFORMS"] = platform
+        jax.config.update("jax_platforms", platform)
+
+
+def add_common_args(p: argparse.ArgumentParser):
+    p.add_argument("--model_type", default="bert-pho2-res-arch3")
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--vocab_path", default=None,
+                   help="vocab.txt (defaults to data_dir/vocab.txt; synthetic "
+                        "vocab with --synthetic)")
+    p.add_argument("--font_paths", default=None,
+                   help="comma-separated TTFs (simhei,xiaozhuan); procedural "
+                        "glyphs when absent")
+    p.add_argument("--max_seq_length", type=int, default=128)
+    p.add_argument("--seed", type=int, default=17)
+    # resfonts presets (run.py:380-391).
+    p.add_argument("--resfonts", default="font3_fanti",
+                   choices=["font1", "font2", "font2_fanti", "font3_fanti"])
+    p.add_argument("--image_model_type", type=int, default=0)
+    # ablation switches (src/models_abla.py via run.py:374-376).
+    p.add_argument("--with_pho", default="yes", choices=["yes", "no"])
+    p.add_argument("--with_res", default="yes", choices=["yes", "no"])
+    p.add_argument("--fusion", default=None, choices=[None, "gate", "sum"])
+    # TPU knobs.
+    p.add_argument("--mesh", default=None,
+                   help="e.g. 'data=8' or 'data=4,model=2'; default single device")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--platform", default=None, help="jax platform override (cpu)")
+    # smoke-run knobs.
+    p.add_argument("--synthetic", action="store_true",
+                   help="synthetic vocab + dataset (no corpus assets needed)")
+    p.add_argument("--tiny", action="store_true",
+                   help="tiny model dims for smoke tests")
+    return p
+
+
+def resolve_resfonts(args) -> Tuple[int, bool]:
+    """(num_fonts, use_traditional_font) from the --resfonts preset
+    (run.py:380-391)."""
+    return {
+        "font1": (1, False),
+        "font2": (2, False),
+        "font2_fanti": (2, True),
+        "font3_fanti": (3, True),
+    }[args.resfonts]
+
+
+TINY_OVERRIDES = dict(hidden_size=32, num_hidden_layers=2,
+                      num_attention_heads=2, intermediate_size=64,
+                      pho_num_layers=1, out_num_layers=1,
+                      max_position_embeddings=64)
+
+
+def build_config(args, vocab_size: int) -> RealiseConfig:
+    num_fonts, use_trad = resolve_resfonts(args)
+    overrides: Dict = dict(
+        vocab_size=vocab_size,
+        max_seq_length=args.max_seq_length,
+        num_fonts=num_fonts,
+        use_traditional_font=use_trad,
+        dtype=args.dtype,
+    )
+    if args.image_model_type == 1:
+        overrides["res_encoder"] = "resnet1"
+    if args.with_pho == "no":
+        overrides["pho_encoder"] = "none"
+    if args.with_res == "no":
+        overrides["res_encoder"] = "none"
+    if args.fusion:
+        overrides["fusion"] = args.fusion
+    if args.tiny:
+        overrides.update(TINY_OVERRIDES)
+        overrides["max_seq_length"] = min(args.max_seq_length, 32)
+    return config_for(args.model_type, **overrides)
+
+
+def build_tokenizer(args) -> WordPieceTokenizer:
+    path = args.vocab_path
+    if path is None and args.data_dir:
+        cand = os.path.join(args.data_dir, "vocab.txt")
+        if os.path.exists(cand):
+            path = cand
+    if path:
+        return WordPieceTokenizer.from_pretrained(path)
+    if not args.synthetic:
+        raise SystemExit(
+            "no vocab.txt found — pass --vocab_path/--data_dir, or "
+            "--synthetic for the built-in synthetic vocabulary")
+    return WordPieceTokenizer(vocab_to_dict(build_synthetic_vocab()))
+
+
+def build_glyphs(args, tokenizer, cfg: RealiseConfig):
+    if not cfg.with_res:
+        return None
+    from realise_tpu.text.glyphs import build_glyph_table
+
+    font_paths = args.font_paths.split(",") if args.font_paths else None
+    vocab = tokenizer.convert_ids_to_tokens(range(len(tokenizer)))
+    return build_glyph_table(vocab, num_fonts=cfg.num_fonts,
+                             use_traditional_font=cfg.use_traditional_font,
+                             font_paths=font_paths, font_size=cfg.glyph_size)
+
+
+def build_mesh(args):
+    if not args.mesh:
+        return None
+    from realise_tpu.parallel.mesh import make_mesh
+
+    axes = {}
+    for part in args.mesh.split(","):
+        name, _, n = part.partition("=")
+        axes[name.strip()] = int(n)
+    return make_mesh(axes)
+
+
+def load_dataset(args, tokenizer, filename: Optional[str],
+                 num_synthetic: int = 64, seed: int = 0) -> List[Dict]:
+    if args.synthetic or not filename:
+        return synthetic_dataset(tokenizer, num_examples=num_synthetic,
+                                 seed=seed)
+    path = filename
+    if args.data_dir and not os.path.isabs(path):
+        path = os.path.join(args.data_dir, path)
+    return load_pkl_dataset(path)
+
+
+def evaluate_model(
+    trainer,
+    dataset: List[Dict],
+    featurizer: Featurizer,
+    tokenizer,
+    out_dir: str,
+    prefix: str = "",
+    batch_size: int = 32,
+    label_path: Optional[str] = None,
+    should_remove_de: bool = False,
+) -> Dict[str, float]:
+    """Forward the dataset, decode argmax predictions, score with the SIGHAN
+    metric (the evaluate() path of run.py:239-280)."""
+    os.makedirs(os.path.join(out_dir, prefix) if prefix else out_dir,
+                exist_ok=True)
+    if label_path is None:
+        # Derive gold labels from the dataset's src/tgt texts.
+        label_path = os.path.join(out_dir, prefix, "gold.lbl.tsv")
+        with open(label_path, "w", encoding="utf-8") as f:
+            f.write("\n".join(dataset_labels(dataset)))
+
+    batches = []
+    losses = []
+    for examples in batch_iterator(dataset, batch_size):
+        host_batch = featurizer.featurize(examples)
+        out = trainer.eval_step(featurizer.device_batch(host_batch))
+        n = len(examples)
+        host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]
+        for k in ("src_idx", "masks", "loss_masks"):
+            host_batch[k] = host_batch[k][:n]
+        for k in ("id", "src", "tgt", "tokens_size", "lengths"):
+            host_batch[k] = host_batch[k][:n]
+        if "loss" in out:
+            losses.append(float(out["loss"]))
+        batches.append(host_batch)
+
+    metric = Metric(tokenizer)
+    results = metric.metric(
+        batches,
+        pred_txt_path=os.path.join(out_dir, prefix, "preds.txt"),
+        pred_lbl_path=os.path.join(out_dir, prefix, "labels.txt"),
+        label_path=label_path,
+        should_remove_de=should_remove_de,
+    )
+    if losses:
+        results["avg_loss"] = float(np.mean(losses))
+    return results
+
+
+def write_json(path: str, obj) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(obj, f, indent=2, sort_keys=True)

@@ -1,0 +1,210 @@
+"""Fine-tune CLI — the train.sh / src/run.py equivalent.
+
+Reference flow (reference: src/run.py:282-526, train.sh): load config +
+tokenizer, build model + glyphs, train with AdamW/warmup/clip, checkpoint
+every ``--save_steps``, then evaluate every checkpoint on dev, keep the top-k
+by ``--order_metric``, and optionally predict on the test set.
+
+Example (smoke, no corpus assets):
+    python -m realise_tpu.cli.train --model_type bert-pho2-res-arch3 \
+        --synthetic --tiny --max_steps 4 --output_dir /tmp/out
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from realise_tpu.cli.common import (
+    add_common_args,
+    build_config,
+    build_glyphs,
+    build_mesh,
+    build_tokenizer,
+    evaluate_model,
+    force_platform,
+    load_dataset,
+    setup_logging,
+    write_json,
+    logger,
+)
+from realise_tpu.data.dataset import batch_iterator
+from realise_tpu.data.features import Featurizer
+from realise_tpu.models.realise import init_realise
+from realise_tpu.training.checkpoint import (
+    list_checkpoints,
+    load_checkpoint,
+    retain_top_k,
+    save_checkpoint,
+)
+from realise_tpu.training.merge import merge_params
+from realise_tpu.training.trainer import Trainer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--train_file", default="trainall.times2.pkl")
+    p.add_argument("--dev_file", default="dev.pkl")
+    p.add_argument("--dev_label_file", default=None)
+    p.add_argument("--predict_file", default="test.sighan15.pkl")
+    p.add_argument("--predict_label_file", default=None)
+    p.add_argument("--do_train", action="store_true")
+    p.add_argument("--do_eval", action="store_true")
+    p.add_argument("--do_predict", action="store_true")
+    p.add_argument("--init_ckpt", default=None,
+                   help="checkpoint dir to initialize from (e.g. merged "
+                        "pretrain, the merge.py equivalent)")
+    p.add_argument("--pho_ckpt", default=None,
+                   help="pho2-pretrain checkpoint to overlay at init")
+    p.add_argument("--res_ckpt", default=None,
+                   help="res-pretrain checkpoint to overlay at init")
+    p.add_argument("--per_device_train_batch_size", type=int, default=16)
+    p.add_argument("--eval_batch_size", type=int, default=32)
+    p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--adam_epsilon", type=float, default=1e-8)
+    p.add_argument("--max_grad_norm", type=float, default=1.0)
+    p.add_argument("--num_train_epochs", type=float, default=10)
+    p.add_argument("--max_steps", type=int, default=-1)
+    p.add_argument("--warmup_steps", type=int, default=10000)
+    p.add_argument("--logging_steps", type=int, default=100)
+    p.add_argument("--save_steps", type=int, default=1000)
+    p.add_argument("--order_metric", default="sent-detect-f1")
+    p.add_argument("--metric_reverse", action="store_true", default=True)
+    p.add_argument("--num_save_ckpts", type=int, default=5)
+    p.add_argument("--remove_unused_ckpts", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    setup_logging()
+    force_platform(args.platform)
+    if not (args.do_train or args.do_eval or args.do_predict):
+        args.do_train = True  # sensible default for smoke runs
+
+    tokenizer = build_tokenizer(args)
+    cfg = build_config(args, len(tokenizer))
+    featurizer = Featurizer(tokenizer, cfg)
+    mesh = build_mesh(args)
+    glyphs = build_glyphs(args, tokenizer, cfg)
+
+    params, state = init_realise(jax.random.PRNGKey(args.seed), cfg,
+                                 glyphs=glyphs)
+    if args.init_ckpt:
+        restored = load_checkpoint(args.init_ckpt)
+        params = restored["params"]
+        state = {**restored["state"]}
+        if glyphs is not None:
+            state["char_images"] = state.get("char_images", glyphs)
+    if args.pho_ckpt or args.res_ckpt:
+        pho = load_checkpoint(args.pho_ckpt) if args.pho_ckpt else None
+        res = load_checkpoint(args.res_ckpt) if args.res_ckpt else None
+        params, state = merge_params(
+            params, state,
+            pho_params=pho["params"] if pho else None,
+            res_params=res["params"] if res else None,
+            res_state=res["state"] if res else None)
+
+    train_data = load_dataset(args, tokenizer, args.train_file,
+                              num_synthetic=256, seed=args.seed)
+    batch_size = args.per_device_train_batch_size
+    if mesh is not None and "data" in mesh.axis_names:
+        batch_size *= mesh.shape["data"]
+    steps_per_epoch = max(len(train_data) // batch_size, 1)
+    total_steps = (args.max_steps if args.max_steps > 0
+                   else int(steps_per_epoch * args.num_train_epochs
+                            / args.gradient_accumulation_steps))
+
+    trainer = Trainer(
+        cfg, params, state,
+        learning_rate=args.learning_rate,
+        warmup_steps=args.warmup_steps,
+        total_steps=max(total_steps, 1),
+        weight_decay=args.weight_decay,
+        adam_epsilon=args.adam_epsilon,
+        max_grad_norm=args.max_grad_norm,
+        grad_accum_steps=args.gradient_accumulation_steps,
+        mesh=mesh,
+        use_pallas=args.use_pallas,
+        seed=args.seed,
+    )
+
+    training_args = {k: v for k, v in vars(args).items()}
+
+    def save_fn(step, ts):
+        save_checkpoint(args.output_dir, step, ts.params, ts.state,
+                        ts.opt_state, cfg=cfg, training_args=training_args)
+        logger.info("saved checkpoint at step %d", step)
+
+    if args.do_train:
+        logger.info("training: %d examples, batch %d, %d total steps",
+                    len(train_data), batch_size, total_steps)
+
+        def batches():
+            epoch = 0
+            while True:
+                for examples in batch_iterator(train_data, batch_size,
+                                               shuffle=True,
+                                               seed=args.seed + epoch):
+                    yield featurizer.device_batch(
+                        featurizer.featurize(examples))
+                epoch += 1
+
+        trainer.fit(batches(), max_steps=total_steps,
+                    logging_steps=args.logging_steps,
+                    save_steps=args.save_steps, save_fn=save_fn)
+        save_fn(trainer.train_state.step, trainer.train_state)
+
+    if args.do_eval:
+        dev_data = load_dataset(args, tokenizer, args.dev_file,
+                                num_synthetic=64, seed=args.seed + 1)
+        label = (os.path.join(args.data_dir, args.dev_label_file)
+                 if args.data_dir and args.dev_label_file else None)
+        scored = []
+        all_results = {}
+        for step, ckpt_dir in list_checkpoints(args.output_dir):
+            restored = load_checkpoint(ckpt_dir)
+            trainer.train_state = trainer.train_state.__class__(
+                params=restored["params"], state=restored["state"],
+                opt_state=trainer.train_state.opt_state, step=step)
+            res = evaluate_model(trainer, dev_data, featurizer, tokenizer,
+                                 args.output_dir, prefix=f"eval-{step}",
+                                 batch_size=args.eval_batch_size,
+                                 label_path=label)
+            logger.info("ckpt %d dev: %s", step, res)
+            all_results[str(step)] = res
+            score = res[args.order_metric]
+            scored.append((ckpt_dir, score))
+        if scored and args.remove_unused_ckpts:
+            retain_top_k(scored, args.num_save_ckpts,
+                         reverse=args.metric_reverse)
+        write_json(os.path.join(args.output_dir, "dev_results.json"),
+                   all_results)
+        if scored:
+            best = max(scored, key=lambda t: t[1]) if args.metric_reverse \
+                else min(scored, key=lambda t: t[1])
+            logger.info("best checkpoint: %s (%s=%.2f)", best[0],
+                        args.order_metric, best[1])
+
+    if args.do_predict:
+        test_data = load_dataset(args, tokenizer, args.predict_file,
+                                 num_synthetic=64, seed=args.seed + 2)
+        label = (os.path.join(args.data_dir, args.predict_label_file)
+                 if args.data_dir and args.predict_label_file else None)
+        res = evaluate_model(trainer, test_data, featurizer, tokenizer,
+                             args.output_dir, prefix="predict",
+                             batch_size=args.eval_batch_size,
+                             label_path=label)
+        logger.info("predict: %s", res)
+        write_json(os.path.join(args.output_dir, "predict_results.json"), res)
+
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

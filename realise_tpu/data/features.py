@@ -141,6 +141,31 @@ class Featurizer:
             batch["pho1_idx"] = self.pho1_table()[src_idx]  # (B, S, 3)
         return batch
 
+    def cjk_token_mask(self) -> np.ndarray:
+        """(V,) bool: vocab tokens that are single Chinese chars."""
+        from realise_tpu.text.tokenizer import is_chinese_char
+
+        vocab = self.tokenizer.convert_ids_to_tokens(range(len(self.tokenizer)))
+        return np.asarray(
+            [len(t) == 1 and is_chinese_char(ord(t)) for t in vocab], bool)
+
+    def featurize_pho_pretrain(self, examples: Sequence[Dict]) -> Dict:
+        """Phonetic-pretrain features: the model must recover each char from
+        its pinyin alone, so inputs are the *target* ids and the loss covers
+        Chinese-char positions only (reference: run_pretrain.py:56-69,
+        src/models.py:1318-1347)."""
+        batch = self.featurize(examples, with_labels=True)
+        batch["src_idx"] = batch["tgt_idx"].copy()
+        cjk = self.cjk_token_mask()
+        batch["loss_masks"] = (
+            batch["loss_masks"].astype(bool) & cjk[batch["tgt_idx"]]
+        ).astype(np.int32)
+        if self.cfg.pho_encoder == "pho2":
+            table, lens = self.pho2_tables()
+            batch["pho_idx"] = table[batch["src_idx"]]
+            batch["pho_lens"] = lens[batch["src_idx"]]
+        return batch
+
     def device_batch(self, batch: Dict) -> Dict[str, np.ndarray]:
         """Strip host-only fields; what remains goes to the device."""
         keep = {"src_idx", "tgt_idx", "masks", "loss_masks",

@@ -240,16 +240,27 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
 # ==========================================================================
 # Loss
 # ==========================================================================
-def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
-                         loss_mask: jax.Array) -> jax.Array:
-    """Mean CE over positions where loss_mask==1 (src/models.py:862-868),
-    accumulated in f32."""
+def masked_cross_entropy_sum(logits: jax.Array, labels: jax.Array,
+                             loss_mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(sum of NLL over masked positions, number of masked positions) in f32.
+
+    Exposed separately so gradient accumulation can normalize by the *global*
+    valid-token count across microbatches — averaging per-microbatch means
+    would weight tokens unevenly when lengths differ."""
     logits32 = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits32, axis=-1)
     gold = jnp.take_along_axis(logits32, labels[..., None], axis=-1)[..., 0]
     nll = logz - gold
     m = loss_mask.astype(jnp.float32)
-    return (nll * m).sum() / jnp.maximum(m.sum(), 1.0)
+    return (nll * m).sum(), m.sum()
+
+
+def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
+                         loss_mask: jax.Array) -> jax.Array:
+    """Mean CE over positions where loss_mask==1 (src/models.py:862-868),
+    accumulated in f32."""
+    total, count = masked_cross_entropy_sum(logits, labels, loss_mask)
+    return total / jnp.maximum(count, 1.0)
 
 
 # ==========================================================================
@@ -340,8 +351,10 @@ def apply_realise(
     if gates is not None:
         out["gates"] = gates
     if "tgt_idx" in batch:
-        out["loss"] = masked_cross_entropy(logits, batch["tgt_idx"],
-                                           batch["loss_masks"])
+        ls, lc = masked_cross_entropy_sum(logits, batch["tgt_idx"],
+                                          batch["loss_masks"])
+        out["loss_sum"], out["loss_count"] = ls, lc
+        out["loss"] = ls / jnp.maximum(lc, 1.0)
     return out
 
 
@@ -506,6 +519,8 @@ def apply_pretrain(
     logits = apply_head(params["head"], cfg, seq, None)
     out = {"logits": logits, "state": new_state}
     if "tgt_idx" in batch:
-        out["loss"] = masked_cross_entropy(logits, batch["tgt_idx"],
-                                           batch["loss_masks"])
+        ls, lc = masked_cross_entropy_sum(logits, batch["tgt_idx"],
+                                          batch["loss_masks"])
+        out["loss_sum"], out["loss_count"] = ls, lc
+        out["loss"] = ls / jnp.maximum(lc, 1.0)
     return out

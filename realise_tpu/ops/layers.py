@@ -35,12 +35,13 @@ def init_dense(key, in_dim: int, out_dim: int, stddev: float = 0.02, dtype=jnp.f
 
 
 def dense(params, x: jax.Array, dtype=None) -> jax.Array:
-    kernel = params["kernel"]
-    bias = params["bias"]
+    """Mixed-precision rule: compute in the activation dtype — params are
+    stored f32 but cast down at the matmul (otherwise jnp promotion would
+    silently upcast every bf16 activation back to f32)."""
     if dtype is not None:
         x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
-        bias = bias.astype(dtype)
+    kernel = params["kernel"].astype(x.dtype)
+    bias = params["bias"].astype(x.dtype)
     return jnp.matmul(x, kernel, preferred_element_type=x.dtype) + bias
 
 

@@ -1,0 +1,113 @@
+"""Checkpointing: full train-state save/restore + top-k retention.
+
+Improves on the reference, which saves model weights + config only
+(reference: run.py:223-230 ``save_pretrained`` + ``training_args.bin``) — so
+"resume" silently loses Adam moments and the LR-schedule position
+(SURVEY.md §5.3). Here a checkpoint directory ``saved_ckpt-{step}/`` holds:
+
+* ``ckpt/`` — orbax pytree: params, mutable state (BN stats + glyphs),
+  optimizer state, step counter,
+* ``config.json`` — the RealiseConfig (reference: config.json),
+* ``training_args.json`` — run arguments (reference: training_args.bin,
+  torch-pickled; ours is JSON so ``test.py``-equivalents can recover the
+  model type without torch, cf. src/test.py:105-107).
+
+The "evaluate all checkpoints → rank by dev metric → keep top-k" workflow
+(run.py:473-505, train.sh:17-19) is :func:`retain_top_k`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from realise_tpu.config import RealiseConfig
+
+CKPT_PREFIX = "saved_ckpt-"
+
+
+def save_checkpoint(
+    directory: str,
+    step: int,
+    params,
+    state,
+    opt_state=None,
+    cfg: Optional[RealiseConfig] = None,
+    training_args: Optional[Dict[str, Any]] = None,
+) -> str:
+    """Write ``{directory}/saved_ckpt-{step}``; returns the checkpoint dir."""
+    ckpt_dir = os.path.join(os.path.abspath(directory), f"{CKPT_PREFIX}{step}")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    tree = {"params": params, "state": state, "step": step}
+    if opt_state is not None:
+        tree["opt_state"] = opt_state
+    # Serialize as host numpy: checkpoints then restore on any device
+    # topology (save on a TPU mesh, restore on CPU, and vice versa). At this
+    # model scale (~110M params) gathering to host is cheap; a sharded async
+    # save can be layered in for much larger configs.
+    tree = jax.tree.map(np.asarray, tree)
+    path = os.path.join(ckpt_dir, "ckpt")
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(path, tree)
+    if cfg is not None:
+        cfg.save(ckpt_dir)
+    if training_args is not None:
+        with open(os.path.join(ckpt_dir, "training_args.json"), "w") as f:
+            json.dump(training_args, f, indent=2, sort_keys=True, default=str)
+    return ckpt_dir
+
+
+def load_checkpoint(ckpt_dir: str, template=None) -> Dict[str, Any]:
+    """Restore a checkpoint dict. ``template``: optional pytree of like-shaped
+    arrays (for sharded restore); without it arrays restore as numpy."""
+    path = os.path.join(os.path.abspath(ckpt_dir), "ckpt")
+    with ocp.PyTreeCheckpointer() as ckptr:
+        if template is not None:
+            return ckptr.restore(path, item=template)
+        return ckptr.restore(path)
+
+
+def load_config(ckpt_dir: str) -> RealiseConfig:
+    return RealiseConfig.load(ckpt_dir)
+
+
+def load_training_args(ckpt_dir: str) -> Dict[str, Any]:
+    with open(os.path.join(ckpt_dir, "training_args.json")) as f:
+        return json.load(f)
+
+
+def list_checkpoints(directory: str) -> List[Tuple[int, str]]:
+    """[(step, path)] of saved_ckpt-* dirs, sorted by step."""
+    out = []
+    if not os.path.isdir(directory):
+        return out
+    for name in os.listdir(directory):
+        m = re.fullmatch(re.escape(CKPT_PREFIX) + r"(\d+)", name)
+        if m:
+            out.append((int(m.group(1)), os.path.join(directory, name)))
+    return sorted(out)
+
+
+def retain_top_k(
+    scored: List[Tuple[str, float]],
+    k: int,
+    reverse: bool = True,
+    delete: bool = True,
+) -> List[str]:
+    """Keep the k best checkpoint dirs by score; optionally delete the rest
+    (run.py:473-505). Returns the kept dirs, best first."""
+    ranked = sorted(scored, key=lambda t: t[1], reverse=reverse)
+    keep = [d for d, _ in ranked[:k]]
+    if delete:
+        for d, _ in ranked[k:]:
+            shutil.rmtree(d, ignore_errors=True)
+    return keep

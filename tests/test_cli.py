@@ -1,0 +1,113 @@
+"""End-to-end CLI tests (in-process, tiny configs, synthetic data)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+SMOKE = ["--synthetic", "--tiny", "--platform", "cpu", "--seed", "7"]
+
+
+def test_full_reference_workflow(tmp_path):
+    """pretrain-pho → pretrain-res → merge → finetune → test: the complete
+    reference pipeline (pretrain_pho.sh, pretrain_res.sh, merge.py, train.sh,
+    test.sh) in one pass."""
+    from realise_tpu.cli import merge, pretrain_pho, pretrain_res, test as test_cli, train
+
+    pho_dir = str(tmp_path / "pho")
+    res_dir = str(tmp_path / "res")
+    base_dir = str(tmp_path / "base")
+    merged_dir = str(tmp_path / "merged")
+    ft_dir = str(tmp_path / "ft")
+
+    assert pretrain_pho.main(SMOKE + [
+        "--output_dir", pho_dir, "--max_steps", "2", "--save_steps", "0",
+        "--warmup_steps", "1", "--logging_steps", "1",
+        "--gradient_accumulation_steps", "1",
+        "--per_device_train_batch_size", "4"]) == 0
+    assert os.path.exists(os.path.join(pho_dir, "dev_results.json"))
+
+    assert pretrain_res.main(SMOKE + [
+        "--output_dir", res_dir, "--max_steps", "2", "--logging_steps", "1",
+        "--per_device_train_batch_size", "32"]) == 0
+
+    assert train.main(SMOKE + [
+        "--output_dir", base_dir, "--max_steps", "1", "--save_steps", "0",
+        "--warmup_steps", "1", "--do_train",
+        "--per_device_train_batch_size", "4"]) == 0
+
+    assert merge.main([
+        "--base_ckpt", base_dir, "--pho_ckpt", pho_dir, "--res_ckpt", res_dir,
+        "--output_dir", merged_dir, "--platform", "cpu"]) == 0
+
+    assert train.main(SMOKE + [
+        "--output_dir", ft_dir, "--max_steps", "2", "--save_steps", "2",
+        "--warmup_steps", "1", "--do_train", "--do_eval",
+        "--init_ckpt", os.path.join(merged_dir, "saved_ckpt-0"),
+        "--per_device_train_batch_size", "4"]) == 0
+    assert os.path.exists(os.path.join(ft_dir, "dev_results.json"))
+
+    assert test_cli.main([
+        "--ckpt_dir", ft_dir, "--synthetic", "--platform", "cpu"]) == 0
+    with open(os.path.join(ft_dir, "test_output", "test_results.json")) as f:
+        res = json.load(f)
+    assert "sent-correct-f1" in res
+
+
+def test_merge_overlays_pho_and_res(tokenizer):
+    """merge_params grafts pretrain subtrees and keeps base position
+    embeddings (the merge.py key surgery, merge.py:24-31)."""
+    import jax
+
+    from realise_tpu.config import config_for
+    from realise_tpu.models.realise import init_pretrain, init_realise
+    from realise_tpu.training.merge import merge_params
+
+    tiny = dict(vocab_size=len(tokenizer), hidden_size=16,
+                num_hidden_layers=1, num_attention_heads=2,
+                intermediate_size=32, pho_num_layers=1, out_num_layers=1,
+                max_seq_length=8, max_position_embeddings=16, num_fonts=1)
+    cfg = config_for("bert-pho2-res-arch3", **tiny)
+    base_p, base_s = init_realise(jax.random.PRNGKey(0), cfg)
+    pho_p, _ = init_pretrain(jax.random.PRNGKey(1),
+                             config_for("pho2-pretrain", **tiny))
+    res_cfg = config_for("res-pretrain", **tiny)
+    res_p, res_s = init_pretrain(jax.random.PRNGKey(2), res_cfg)
+
+    merged_p, merged_s = merge_params(base_p, base_s, pho_params=pho_p,
+                                      res_params=res_p, res_state=res_s)
+    # GRU weights come from the pho pretrain.
+    np.testing.assert_array_equal(
+        np.asarray(merged_p["pho"]["gru"]["w_ih"]),
+        np.asarray(pho_p["pho"]["gru"]["w_ih"]))
+    # Position embeddings stay from the base (merge.py deletes them).
+    np.testing.assert_array_equal(
+        np.asarray(merged_p["pho"]["model"]["embeddings"]["position_embeddings"]["embedding"]),
+        np.asarray(base_p["pho"]["model"]["embeddings"]["position_embeddings"]["embedding"]))
+    # Resnet convs come from the res pretrain, glyphs stay from the base.
+    np.testing.assert_array_equal(
+        np.asarray(merged_p["res"]["resnet"]["block1"]["conv1"]["kernel"]),
+        np.asarray(res_p["res"]["resnet"]["block1"]["conv1"]["kernel"]))
+    np.testing.assert_array_equal(np.asarray(merged_s["char_images"]),
+                                  np.asarray(base_s["char_images"]))
+
+
+def test_pho_pretrain_features(tokenizer):
+    """Pretrain features: inputs are target ids; loss only on Chinese chars."""
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+
+    cfg = config_for("pho2-pretrain", vocab_size=len(tokenizer),
+                     max_seq_length=12)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=3, seed=0)
+    batch = feat.featurize_pho_pretrain(data)
+    np.testing.assert_array_equal(batch["src_idx"], batch["tgt_idx"])
+    cjk = feat.cjk_token_mask()
+    mask = batch["loss_masks"].astype(bool)
+    assert cjk[batch["tgt_idx"][mask]].all()
+    # [CLS]/[SEP]/pad never in the loss.
+    assert not mask[:, 0].any()

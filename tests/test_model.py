@@ -152,3 +152,18 @@ def test_res_pretrain_runs(tokenizer):
     out = apply_pretrain(params, state, batch, cfg, train=True)
     assert out["logits"].shape == (8, cfg.vocab_size)
     assert jnp.isfinite(out["loss"]).item()
+
+
+def test_bfloat16_forward(featurized):
+    """Mixed precision: bf16 activations must not upcast through the stack
+    (regression: dense() once promoted bf16@f32 → f32, breaking scan)."""
+    import jax.numpy as jnp
+
+    cfg, batch = featurized
+    cfg16 = cfg.replace(dtype="bfloat16")
+    params, state = init_realise(jax.random.PRNGKey(0), cfg16)
+    out = jax.jit(
+        lambda p, s, b: apply_realise(p, s, b, cfg16)["logits"])(
+            params, state, batch)
+    assert out.dtype == jnp.bfloat16
+    assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
