@@ -33,6 +33,16 @@ import numpy as np
 REFERENCE_V100_SENTENCES_PER_SEC = 100.0  # documented estimate, see header
 
 
+def _log(msg):
+    import sys, time
+
+    print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr,
+          flush=True)
+
+
+_T0 = __import__("time").perf_counter()
+
+
 def build(tiny: bool, batch_size: int, train: bool):
     import jax
 
@@ -49,6 +59,7 @@ def build(tiny: bool, batch_size: int, train: bool):
     from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
 
     # Full-scale vocabulary (21128, the BERT-Chinese size) unless smoke.
+    _log("building vocab/tokenizer")
     vocab = build_synthetic_vocab(size=None if tiny else 21128)
     tokenizer = WordPieceTokenizer(vocab_to_dict(vocab))
     if tiny:
@@ -61,10 +72,18 @@ def build(tiny: bool, batch_size: int, train: bool):
         cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
                          dtype="bfloat16")
 
+    _log("rasterizing glyph table")
     glyphs = build_glyph_table(vocab, num_fonts=cfg.num_fonts,
                                use_traditional_font=cfg.use_traditional_font,
                                font_size=cfg.glyph_size)
-    params, state = init_realise(jax.random.PRNGKey(0), cfg, glyphs=glyphs)
+    _log("initializing params (on host CPU, bulk transfer after)")
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params, state = init_realise(jax.random.PRNGKey(0), cfg, glyphs=glyphs)
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    state = jax.device_put(state, dev)
+    _log("params on device")
 
     feat = Featurizer(tokenizer, cfg)
     data = synthetic_dataset(tokenizer, num_examples=batch_size, min_len=20,
@@ -72,12 +91,14 @@ def build(tiny: bool, batch_size: int, train: bool):
     batch = {k: jax.numpy.asarray(v)
              for k, v in feat.device_batch(feat.featurize(data)).items()}
 
+    _log("featurized; precomputing inference tables")
     vocab_pho_idx, vocab_pho_lens = feat.pho2_tables()
     tables = precompute_inference_tables(
         params, state, cfg,
         vocab_pho_idx=jax.numpy.asarray(vocab_pho_idx),
         vocab_pho_lens=jax.numpy.asarray(vocab_pho_lens))
 
+    _log("tables ready")
     infer_batch = {k: v for k, v in batch.items() if k != "tgt_idx"}
 
     @jax.jit
@@ -131,8 +152,10 @@ def main():
     infer_step, (params, state, infer_batch), train_fn, bs = build(
         tiny=args.smoke, batch_size=batch_size, train=args.train)
 
+    build_done = True
     sec = time_fn(lambda: infer_step(params, state, infer_batch),
                   iters=args.iters)
+    _log("inference timed")
     sent_per_sec = bs / sec
 
     import sys

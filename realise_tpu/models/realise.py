@@ -288,6 +288,9 @@ def apply_realise(
     src_idx = batch["src_idx"]
     dtype = jnp.dtype(cfg.dtype)
     tables = inference_tables or {}
+    # Pallas kernels are forward-only (no custom VJPs yet): serving uses
+    # them, the differentiable training path stays on the jnp code.
+    use_pallas = use_pallas and deterministic
 
     sem = bert_model(params["bert"], cfg, input_ids=src_idx,
                      attention_mask=attention_mask,
@@ -379,33 +382,43 @@ def precompute_inference_tables(
     tables: Dict[str, jax.Array] = {}
     dtype = jnp.dtype(cfg.dtype)
 
+    def _pad_to(x, mult):
+        pad = (-x.shape[0]) % mult
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+        return x
+
     if cfg.with_res:
         glyphs = state["char_images"]
         v = glyphs.shape[0]
 
+        @jax.jit
         def res_chunk(imgs):
             imgs = jnp.transpose(imgs, (0, 2, 3, 1)).astype(dtype)
             feats, _ = char_resnet(params["res"]["resnet"], state["resnet"],
                                    imgs, train=False, variant=cfg.res_encoder,
-                                       hidden_size=cfg.hidden_size)
+                                   hidden_size=cfg.hidden_size)
             return feats
 
-        chunks = []
-        for i in range(0, v, batch_size):
-            chunks.append(jax.jit(res_chunk)(glyphs[i : i + batch_size]))
-        tables["res"] = jnp.concatenate(chunks, axis=0)
+        # One jitted fn + one padded chunk shape → exactly one compile.
+        padded = _pad_to(glyphs, batch_size)
+        chunks = [res_chunk(padded[i : i + batch_size])
+                  for i in range(0, padded.shape[0], batch_size)]
+        tables["res"] = jnp.concatenate(chunks, axis=0)[:v]
 
     if cfg.pho_encoder == "pho2" and vocab_pho_idx is not None:
+        @jax.jit
         def pho_chunk(idx, lens):
             emb = embed(params["pho"]["embeddings"], idx, dtype=dtype)
             return gru_last_hidden(params["pho"]["gru"], emb, lens)
 
         v = vocab_pho_idx.shape[0]
-        chunks = []
-        for i in range(0, v, batch_size):
-            chunks.append(jax.jit(pho_chunk)(vocab_pho_idx[i : i + batch_size],
-                                             vocab_pho_lens[i : i + batch_size]))
-        tables["pho"] = jnp.concatenate(chunks, axis=0)
+        idx_p = _pad_to(jnp.asarray(vocab_pho_idx), batch_size)
+        lens_p = _pad_to(jnp.asarray(vocab_pho_lens), batch_size)
+        chunks = [pho_chunk(idx_p[i : i + batch_size],
+                            lens_p[i : i + batch_size])
+                  for i in range(0, idx_p.shape[0], batch_size)]
+        tables["pho"] = jnp.concatenate(chunks, axis=0)[:v]
     return tables
 
 
@@ -467,6 +480,7 @@ def apply_pretrain(
     """
     dtype = jnp.dtype(cfg.dtype)
     new_state = state
+    use_pallas = use_pallas and deterministic  # forward-only kernels
 
     if cfg.model_type == "res-pretrain":
         # batch: char_idx (N,) — single chars.

@@ -166,7 +166,10 @@ def _self_attention(layer_params, hidden, attn_bias, cfg: RealiseConfig,
     k = dense(layer_params["key"], hidden).reshape(b, s, nh, hd)
     v = dense(layer_params["value"], hidden).reshape(b, s, nh, hd)
 
-    if use_pallas:
+    # The fused kernel computes exactly softmax(qkᵀ/√d+bias)·v — identical to
+    # the jnp path only when probs-dropout is inactive.
+    dropout_active = (not deterministic) and cfg.attention_probs_dropout_prob > 0
+    if use_pallas and not dropout_active:
         from realise_tpu.ops.pallas.attention import fused_attention
 
         ctx = fused_attention(q, k, v, attn_bias)

@@ -53,8 +53,17 @@ def gate_fusion(
     sem = streams[0]
     pooled = masked_mean_pool(sem, attention_mask)
     pooled = jnp.broadcast_to(pooled[:, None, :], sem.shape)
-    feats = jnp.concatenate(streams + [pooled], axis=-1)
-    logits = dense(params["gate_net"], feats)  # (B, S, N)
+    # Split the gate matmul per stream instead of materializing the
+    # (B, S, (N+1)·H) concat — same math as Linear(concat(...)) with the
+    # weight rows partitioned, but the concat buffer never exists in HBM.
+    h = sem.shape[-1]
+    w = params["gate_net"]["kernel"]
+    pieces = streams + [pooled]
+    logits = params["gate_net"]["bias"].astype(sem.dtype)
+    for i, piece in enumerate(pieces):
+        w_i = w[i * h : (i + 1) * h].astype(piece.dtype)
+        logits = logits + jnp.matmul(piece, w_i,
+                                     preferred_element_type=piece.dtype)
     if softmax_gate:
         gates = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(sem.dtype)
     else:

@@ -70,14 +70,33 @@ def gru_last_hidden(
 
     n, p, _ = inputs.shape
     hidden_dim = params["w_hh"].shape[0]
-    h0 = jnp.zeros((n, hidden_dim), inputs.dtype)
+    dtype = inputs.dtype
+    h0 = jnp.zeros((n, hidden_dim), dtype)
+
+    # Hoist the input projections out of the scan: one (N·P, D)×(D, 3H)
+    # matmul instead of P small ones — the sequential part is only the
+    # recurrent (N, H)×(H, 3H) product, so the MXU sees two large matmul
+    # shapes instead of 2·P small ones.
+    gi_all = jnp.matmul(inputs.reshape(n * p, -1),
+                        params["w_ih"].astype(dtype),
+                        preferred_element_type=dtype)
+    gi_all = (gi_all + params["b_ih"].astype(dtype)).reshape(n, p, -1)
+
+    w_hh = params["w_hh"].astype(dtype)
+    b_hh = params["b_hh"].astype(dtype)
 
     def step(h, xs):
-        x_t, t = xs
-        h_new = gru_cell(params, h, x_t)
+        gi_t, t = xs
+        gh = jnp.matmul(h, w_hh, preferred_element_type=dtype) + b_hh
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        cand = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * cand + z * h
         valid = (t < lengths)[:, None]
         return jnp.where(valid, h_new, h), None
 
-    xs = (jnp.moveaxis(inputs, 1, 0), jnp.arange(p, dtype=lengths.dtype))
+    xs = (jnp.moveaxis(gi_all, 1, 0), jnp.arange(p, dtype=lengths.dtype))
     h_final, _ = jax.lax.scan(step, h0, xs)
     return h_final

@@ -34,12 +34,19 @@ def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int):
     return {"kernel": std * jax.random.normal(key, (kh, kw, in_ch, out_ch), jnp.float32)}
 
 
-def conv2d(params, x: jax.Array, stride: int = 1, padding: str = "SAME") -> jax.Array:
+def conv2d(params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array:
+    """Conv with torch-style symmetric integer padding.
+
+    Torch's ``padding=p`` pads (p, p) on both spatial dims; XLA's "SAME"
+    pads asymmetrically for even strides ((0,1) at stride 2), which shifts
+    window alignment — checkpoint parity requires the torch convention.
+    """
     kernel = params["kernel"].astype(x.dtype)
+    pad = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
         x, kernel,
         window_strides=(stride, stride),
-        padding=padding,
+        padding=pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )
@@ -102,7 +109,7 @@ def basic_block(params, state, x: jax.Array, stride: int, train: bool):
     if "shortcut_conv" in params:
         sc, s3 = batch_norm(
             params["shortcut_bn"], state["shortcut_bn"],
-            conv2d(params["shortcut_conv"], x, stride, padding="VALID"), train)
+            conv2d(params["shortcut_conv"], x, stride, padding=0), train)
         new_state["shortcut_bn"] = s3
     else:
         sc = x
