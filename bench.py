@@ -43,7 +43,7 @@ def _log(msg):
 _T0 = __import__("time").perf_counter()
 
 
-def build(tiny: bool, batch_size: int, train: bool):
+def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
     import jax
 
     from realise_tpu.config import config_for
@@ -103,7 +103,7 @@ def build(tiny: bool, batch_size: int, train: bool):
 
     @jax.jit
     def infer_step(params, state, b):
-        out = apply_realise(params, state, b, cfg,
+        out = apply_realise(params, state, b, cfg, use_pallas=use_pallas,
                             inference_tables=tables)
         return out["logits"].argmax(-1)
 
@@ -137,6 +137,7 @@ def main():
     p.add_argument("--train", action="store_true",
                    help="benchmark the training step too (stderr report)")
     p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--iters", type=int, default=20)
     args = p.parse_args()
 
@@ -150,7 +151,8 @@ def main():
 
     batch_size = args.batch_size or (32 if args.smoke else 256)
     infer_step, (params, state, infer_batch), train_fn, bs = build(
-        tiny=args.smoke, batch_size=batch_size, train=args.train)
+        tiny=args.smoke, batch_size=batch_size, train=args.train,
+        use_pallas=args.use_pallas)
 
     build_done = True
     sec = time_fn(lambda: infer_step(params, state, infer_batch),

@@ -50,29 +50,42 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret = jax.devices()[0].platform != "tpu"
     scale = 1.0 / (d ** 0.5)
 
+    # Mosaic wants the lane (last) dim 128-aligned; BERT's head dim is 64.
+    # Zero-pad D → 128: zeros add nothing to q·kᵀ, and the padded output
+    # columns are sliced off below.
+    d_pad = (-d) % 128
+    if d_pad:
+        pad = [(0, 0)] * 3 + [(0, d_pad)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+    dp = d + d_pad
+
     # (B, S, H, D) → (B, H, S, D) so a (batch, head) block is contiguous.
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    bias2 = bias.reshape(b, s)  # additive, per-key position
+    # (B, 1, S): keep an explicit singleton so the TPU block shape's
+    # second-to-last dim equals the array dim (Mosaic tiling rule).
+    bias2 = bias.reshape(b, 1, s)
 
-    qkv_spec = pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
+    qkv_spec = pl.BlockSpec((1, 1, s, dp), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, s), lambda i, j: (i, 0),
+    bias_spec = pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):
         _attention_kernel(
-            q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], b_ref,
+            q_ref.at[0, 0], k_ref.at[0, 0], v_ref.at[0, 0], b_ref.at[0],
             o_ref.at[0, 0], scale=scale)
 
     out = pl.pallas_call(
         kernel,
         grid=(b, h),
         in_specs=[qkv_spec, qkv_spec, qkv_spec, bias_spec],
-        out_specs=pl.BlockSpec((1, 1, s, d), lambda i, j: (i, j, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, s, dp), lambda i, j: (i, j, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, dp), q.dtype),
         interpret=interpret,
     )(qt, kt, vt, bias2)
-    return out.transpose(0, 2, 1, 3)
+    return out.transpose(0, 2, 1, 3)[..., :d]

@@ -22,7 +22,7 @@ def _gate_kernel(s0_ref, s1_ref, s2_ref, pooled_ref, w_ref, b_ref, out_ref,
     s0 = s0_ref[0]                       # (S, H)
     s1 = s1_ref[0]
     s2 = s2_ref[0]
-    pooled = pooled_ref[:]               # (1, H)
+    pooled = pooled_ref[0]               # (1, H)
     w = w_ref[:]                         # (4H, 3)
 
     logits = (
@@ -57,7 +57,9 @@ def fused_gate_fusion(params, streams, attention_mask, softmax_gate=False,
         interpret = jax.devices()[0].platform != "tpu"
     sem, pho, res = streams
     b, s, h = sem.shape
-    pooled = masked_mean_pool(sem, attention_mask)     # (B, H)
+    # (B, 1, H): explicit singleton so the TPU block's second-to-last dim
+    # equals the array dim (Mosaic tiling rule).
+    pooled = masked_mean_pool(sem, attention_mask)[:, None, :]
 
     stream_spec = pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -66,7 +68,8 @@ def fused_gate_fusion(params, streams, attention_mask, softmax_gate=False,
         grid=(b,),
         in_specs=[
             stream_spec, stream_spec, stream_spec,
-            pl.BlockSpec((1, h), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),     # gate weight
             pl.BlockSpec(memory_space=pltpu.VMEM),     # gate bias
         ],

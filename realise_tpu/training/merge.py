@@ -52,3 +52,36 @@ def merge_params(
             state["resnet"] = copy.deepcopy(res_state["resnet"])
 
     return params, state
+
+
+def graft_mlm_head_from_hf(params: Dict[str, Any],
+                           hf_state_dict) -> Dict[str, Any]:
+    """Initialize an MLM head from a HF BERT's ``cls.predictions.*`` weights.
+
+    The utils/add_mlm_to_weights.py + add_trans_to_weights.py equivalent
+    (reference: utils/add_mlm_to_weights.py:4-9, add_trans_to_weights.py:4-9):
+    those scripts copy the pretrained MLM transform/decoder into a checkpoint
+    under new key prefixes; here the head subtree is replaced directly.
+    """
+    import numpy as np
+
+    params = copy.deepcopy(params)
+    sd = hf_state_dict
+    head = {
+        "transform": {
+            "kernel": np.ascontiguousarray(
+                sd["cls.predictions.transform.dense.weight"].T),
+            "bias": sd["cls.predictions.transform.dense.bias"],
+        },
+        "layer_norm": {
+            "scale": sd["cls.predictions.transform.LayerNorm.weight"],
+            "bias": sd["cls.predictions.transform.LayerNorm.bias"],
+        },
+        "decoder": {
+            "kernel": np.ascontiguousarray(sd["cls.predictions.decoder.weight"].T),
+            "bias": sd.get("cls.predictions.bias",
+                           sd.get("cls.predictions.decoder.bias")),
+        },
+    }
+    params["head"] = head
+    return params
