@@ -30,7 +30,11 @@ from realise_tpu.cli.common import (
     write_json,
     logger,
 )
-from realise_tpu.data.dataset import batch_iterator
+from realise_tpu.data.dataset import (
+    batch_iterator,
+    bucketed_batch_iterator,
+    threaded_prefetch,
+)
 from realise_tpu.data.features import Featurizer
 from realise_tpu.models.realise import init_realise
 from realise_tpu.training.checkpoint import (
@@ -77,6 +81,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--metric_reverse", action="store_true", default=True)
     p.add_argument("--num_save_ckpts", type=int, default=5)
     p.add_argument("--remove_unused_ckpts", action="store_true")
+    p.add_argument("--length_buckets", default=None,
+                   help="comma-separated padded lengths (e.g. '32,64,128'): "
+                        "length-bucketed batching, one jit variant per "
+                        "bucket, instead of always padding to max_seq_length")
+    p.add_argument("--no_prefetch", action="store_true",
+                   help="disable the background featurization thread")
     return p
 
 
@@ -145,17 +155,29 @@ def main(argv=None):
         logger.info("training: %d examples, batch %d, %d total steps",
                     len(train_data), batch_size, total_steps)
 
+        buckets = ([int(x) for x in args.length_buckets.split(",")]
+                   if args.length_buckets else None)
+
         def batches():
             epoch = 0
             while True:
-                for examples in batch_iterator(train_data, batch_size,
-                                               shuffle=True,
-                                               seed=args.seed + epoch):
-                    yield featurizer.device_batch(
-                        featurizer.featurize(examples))
+                if buckets:
+                    it = bucketed_batch_iterator(train_data, batch_size,
+                                                 buckets=buckets, shuffle=True,
+                                                 seed=args.seed + epoch)
+                    for seq_len, examples in it:
+                        yield featurizer.device_batch(
+                            featurizer.featurize(examples, seq_len=seq_len))
+                else:
+                    for examples in batch_iterator(train_data, batch_size,
+                                                   shuffle=True,
+                                                   seed=args.seed + epoch):
+                        yield featurizer.device_batch(
+                            featurizer.featurize(examples))
                 epoch += 1
 
-        trainer.fit(batches(), max_steps=total_steps,
+        stream = batches() if args.no_prefetch else threaded_prefetch(batches())
+        trainer.fit(stream, max_steps=total_steps,
                     logging_steps=args.logging_steps,
                     save_steps=args.save_steps, save_fn=save_fn)
         save_fn(trainer.train_state.step, trainer.train_state)

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import pickle
 import random
-from typing import Dict, Iterator, List, Optional, Sequence
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -71,6 +71,52 @@ def batch_iterator(
             yield [dataset[j] for j in idx]
 
 
+def bucketed_batch_iterator(
+    dataset: Sequence[Dict],
+    batch_size: int,
+    buckets: Sequence[int] = (32, 64, 128),
+    shuffle: bool = False,
+    seed: int = 0,
+    pad_final: bool = True,
+) -> Iterator[Tuple[int, List[Dict]]]:
+    """Yield (bucket_seq_len, examples) with each batch padded only to its
+    bucket's length.
+
+    A handful of static shapes (one jit variant per bucket) instead of
+    always padding to max_seq_length — the XLA-friendly equivalent of the
+    reference's sort-by-length + fixed-size batch sampler
+    (data_process/dataset.py:106-175). Buckets are on ``len(src_idx)``
+    (sentence + [CLS]/[SEP]); examples longer than the largest bucket go to
+    the largest (and truncate there).
+    """
+    buckets = sorted(buckets)
+    binned: Dict[int, List[int]] = {b: [] for b in buckets}
+    for i, ex in enumerate(dataset):
+        n = len(ex["src_idx"])
+        for b in buckets:
+            if n <= b:
+                binned[b].append(i)
+                break
+        else:
+            binned[buckets[-1]].append(i)
+
+    rng = random.Random(seed)
+    order: List[Tuple[int, List[int]]] = []
+    for b, idxs in binned.items():
+        if shuffle:
+            rng.shuffle(idxs)
+        for i in range(0, len(idxs), batch_size):
+            order.append((b, idxs[i : i + batch_size]))
+    if shuffle:
+        rng.shuffle(order)
+
+    for b, idx in order:
+        batch = [dataset[j] for j in idx]
+        if len(batch) < batch_size and pad_final:
+            batch = pad_examples(batch, batch_size)
+        yield b, batch
+
+
 # --------------------------------------------------------------------------
 def synthetic_dataset(
     tokenizer,
@@ -121,6 +167,40 @@ def dataset_labels(dataset: Sequence[Dict]) -> List[str]:
         else:
             lines.append(f"{ex['id']}, 0")
     return lines
+
+
+def threaded_prefetch(iterator, size: int = 2):
+    """Run ``iterator`` in a background thread with a bounded queue.
+
+    Overlaps host-side featurization with device compute — the corrected
+    TPU equivalent of the reference's DataProcessor thread
+    (run_speedup.py:64-122): a sentinel ends iteration instead of the
+    ``queue.empty()`` race (run_speedup.py:190), and exceptions propagate.
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
+    sentinel = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as e:  # propagate into the consumer
+            q.put(("__error__", e))
+        finally:
+            q.put(sentinel)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            return
+        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+            raise item[1]
+        yield item
 
 
 def prefetch_to_device(iterator, size: int = 2):

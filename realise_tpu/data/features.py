@@ -100,10 +100,16 @@ class Featurizer:
 
     # ---- batch assembly ---------------------------------------------------
     def featurize(self, examples: Sequence[Dict],
-                  with_labels: bool = True) -> Dict:
-        """Examples → fixed-shape arrays + passthrough fields."""
+                  with_labels: bool = True,
+                  seq_len: Optional[int] = None) -> Dict:
+        """Examples → fixed-shape arrays + passthrough fields.
+
+        ``seq_len`` overrides the padded length (length-bucketed batching:
+        a handful of tile-friendly shapes instead of always padding to the
+        global max — the static-shape counterpart of the reference's
+        sort-by-length batching, data_process/dataset.py:106-175)."""
         cfg = self.cfg
-        s = cfg.max_seq_length
+        s = seq_len or cfg.max_seq_length
         b = len(examples)
         src_idx = np.zeros((b, s), dtype=np.int32)
         tgt_idx = np.zeros((b, s), dtype=np.int32)

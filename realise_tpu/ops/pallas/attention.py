@@ -24,14 +24,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, bias_ref, out_ref, *, scale):
-    # Blocks: q/k/v (S, D) for one (batch, head); bias (1, S).
+    # Blocks: q/k/v (S, D) for one (batch, head); bias (8, S) — the per-key
+    # bias row replicated to a full f32 sublane tile (Mosaic rejects
+    # singleton sublane slices on packed dtypes).
     q = q_ref[:]
     k = k_ref[:]
     v = v_ref[:]
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)            # (S, S)
-    scores = scores * scale + bias_ref[:].astype(jnp.float32)
+    scores = scores * scale + bias_ref[:][0:1, :]
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.dot(probs.astype(v.dtype), v,
                   preferred_element_type=jnp.float32)  # (S, D)
@@ -65,13 +67,14 @@ def fused_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    # (B, 1, S): keep an explicit singleton so the TPU block shape's
-    # second-to-last dim equals the array dim (Mosaic tiling rule).
-    bias2 = bias.reshape(b, 1, s)
+    # (B, 8, S) f32: replicate the per-key bias row across a full sublane
+    # tile so every block dim is tile-aligned.
+    bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
+                             (b, 8, s))
 
     qkv_spec = pl.BlockSpec((1, 1, s, dp), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    bias_spec = pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+    bias_spec = pl.BlockSpec((1, 8, s), lambda i, j: (i, 0, 0),
                              memory_space=pltpu.VMEM)
 
     def kernel(q_ref, k_ref, v_ref, b_ref, o_ref):

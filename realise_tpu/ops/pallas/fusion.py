@@ -22,7 +22,7 @@ def _gate_kernel(s0_ref, s1_ref, s2_ref, pooled_ref, w_ref, b_ref, out_ref,
     s0 = s0_ref[0]                       # (S, H)
     s1 = s1_ref[0]
     s2 = s2_ref[0]
-    pooled = pooled_ref[0]               # (1, H)
+    pooled = pooled_ref[0][0:1, :].astype(s0.dtype)  # (1, H) from the tile
     w = w_ref[:]                         # (4H, 3)
 
     logits = (
@@ -57,9 +57,10 @@ def fused_gate_fusion(params, streams, attention_mask, softmax_gate=False,
         interpret = jax.devices()[0].platform != "tpu"
     sem, pho, res = streams
     b, s, h = sem.shape
-    # (B, 1, H): explicit singleton so the TPU block's second-to-last dim
-    # equals the array dim (Mosaic tiling rule).
-    pooled = masked_mean_pool(sem, attention_mask)[:, None, :]
+    # (B, 8, H) f32: replicate across a sublane tile (Mosaic rejects
+    # singleton sublane slices on packed dtypes).
+    pooled = masked_mean_pool(sem, attention_mask).astype(jnp.float32)
+    pooled = jnp.broadcast_to(pooled[:, None, :], (b, 8, h))
 
     stream_spec = pl.BlockSpec((1, s, h), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM)
@@ -68,7 +69,7 @@ def fused_gate_fusion(params, streams, attention_mask, softmax_gate=False,
         grid=(b,),
         in_specs=[
             stream_spec, stream_spec, stream_spec,
-            pl.BlockSpec((1, 1, h), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, 8, h), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),     # gate weight
             pl.BlockSpec(memory_space=pltpu.VMEM),     # gate bias

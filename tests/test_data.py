@@ -113,3 +113,38 @@ def test_truncation_at_max_seq_length(tokenizer):
     batch = feat.featurize(data)
     assert batch["src_idx"].shape == (2, 8)
     assert batch["loss_masks"][:, -1].tolist() == [1, 1]  # truncated fill
+
+
+def test_bucketed_batch_iterator(tokenizer):
+    from realise_tpu.data.dataset import bucketed_batch_iterator
+
+    data = synthetic_dataset(tokenizer, num_examples=20, min_len=4,
+                             max_len=40, seed=9)
+    seen = set()
+    for seq_len, batch in bucketed_batch_iterator(data, batch_size=4,
+                                                  buckets=(16, 32, 64)):
+        assert seq_len in (16, 32, 64)
+        assert len(batch) == 4
+        for ex in batch:
+            # every real example fits its bucket (largest bucket may truncate)
+            if seq_len != 64:
+                assert len(ex["src_idx"]) <= seq_len
+            seen.add(ex["id"])
+    assert seen == {ex["id"] for ex in data}
+
+
+def test_threaded_prefetch_order_and_errors():
+    from realise_tpu.data.dataset import threaded_prefetch
+
+    assert list(threaded_prefetch(iter(range(10)))) == list(range(10))
+
+    def boom():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = threaded_prefetch(boom())
+    assert next(it) == 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(it)
