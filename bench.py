@@ -111,7 +111,11 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
     if train:
         from realise_tpu.training.trainer import Trainer
 
-        trainer = Trainer(cfg, jax.tree.map(lambda x: x, params),
+        # Training rematerializes the encoder layer body: without it the
+        # backward saves every layer's FFN intermediates + attention probs
+        # (~12 GB at batch 256) and OOMs a 16 GB chip.
+        train_cfg = cfg.replace(remat=True)
+        trainer = Trainer(train_cfg, jax.tree.map(lambda x: x, params),
                           jax.tree.map(lambda x: x, state),
                           learning_rate=5e-5, total_steps=1000, seed=0)
         train_fn = trainer, batch

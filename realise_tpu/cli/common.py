@@ -66,6 +66,9 @@ def add_common_args(p: argparse.ArgumentParser):
                    help="e.g. 'data=8' or 'data=4,model=2'; default single device")
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--remat", action="store_true",
+                   help="jax.checkpoint the encoder layer bodies (trade "
+                        "recompute for activation memory)")
     p.add_argument("--platform", default=None, help="jax platform override (cpu)")
     # smoke-run knobs.
     p.add_argument("--synthetic", action="store_true",
@@ -109,6 +112,8 @@ def build_config(args, vocab_size: int) -> RealiseConfig:
         overrides["res_encoder"] = "none"
     if args.fusion:
         overrides["fusion"] = args.fusion
+    if getattr(args, "remat", False):
+        overrides["remat"] = True
     if args.tiny:
         overrides.update(TINY_OVERRIDES)
         overrides["max_seq_length"] = min(args.max_seq_length, 32)

@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucket, instead of always padding to max_seq_length")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the background featurization thread")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in output_dir, "
+                        "restoring params, BN stats, Adam moments and the "
+                        "step counter (the reference loses optimizer state "
+                        "on restart, SURVEY.md §5.3)")
     return p
 
 
@@ -143,6 +148,26 @@ def main(argv=None):
         use_pallas=args.use_pallas,
         seed=args.seed,
     )
+
+    if args.resume:
+        ckpts = list_checkpoints(args.output_dir)
+        if ckpts:
+            step, ckpt_dir = ckpts[-1]
+            import jax.numpy as jnp
+            import numpy as _np
+            ts = trainer.train_state
+            # Restore INTO the live pytree structure so optax NamedTuple
+            # states come back as NamedTuples, not plain dicts.
+            template = jax.tree.map(_np.asarray, {
+                "params": ts.params, "state": ts.state,
+                "opt_state": ts.opt_state, "step": 0})
+            restored = load_checkpoint(ckpt_dir, template=template)
+            trainer.train_state = type(ts)(
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                state=jax.tree.map(jnp.asarray, restored["state"]),
+                opt_state=jax.tree.map(jnp.asarray, restored["opt_state"]),
+                step=int(restored["step"]))
+            logger.info("resumed from %s at step %d", ckpt_dir, step)
 
     training_args = {k: v for k, v in vars(args).items()}
 

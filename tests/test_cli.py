@@ -111,3 +111,21 @@ def test_pho_pretrain_features(tokenizer):
     assert cjk[batch["tgt_idx"][mask]].all()
     # [CLS]/[SEP]/pad never in the loss.
     assert not mask[:, 0].any()
+
+
+def test_train_resume(tmp_path):
+    """--resume restores params+opt_state+step and continues training."""
+    from realise_tpu.cli import train
+
+    out = str(tmp_path / "resume")
+    assert train.main(SMOKE + [
+        "--output_dir", out, "--max_steps", "2", "--save_steps", "2",
+        "--warmup_steps", "1", "--do_train",
+        "--per_device_train_batch_size", "4"]) == 0
+    assert os.path.exists(os.path.join(out, "saved_ckpt-2"))
+    assert train.main(SMOKE + [
+        "--output_dir", out, "--max_steps", "4", "--save_steps", "2",
+        "--warmup_steps", "1", "--do_train", "--resume",
+        "--per_device_train_batch_size", "4"]) == 0
+    # Continued from step 2 → saved step 4 exists.
+    assert os.path.exists(os.path.join(out, "saved_ckpt-4"))
