@@ -17,7 +17,9 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from realise_tpu.config import RealiseConfig, config_for
-from realise_tpu.data.dataset import batch_iterator, dataset_labels, load_pkl_dataset, synthetic_dataset
+from realise_tpu.data.dataset import (batch_iterator, dataset_labels,
+                                      load_pkl_dataset, pad_examples,
+                                      synthetic_dataset)
 from realise_tpu.data.features import Featurizer
 from realise_tpu.eval.metric import Metric
 from realise_tpu.text.tokenizer import WordPieceTokenizer
@@ -193,17 +195,24 @@ def evaluate_model(
 
     batches = []
     losses = []
-    for examples in batch_iterator(dataset, batch_size):
-        host_batch = featurizer.featurize(examples)
-        out = trainer.eval_step(featurizer.device_batch(host_batch))
+    weights = []
+    # Iterate UNPADDED so n is the true example count; pad to batch_size only
+    # for the (static-shape) device step and slice every field back to n.
+    # The reference's evaluate() never duplicates rows (run.py:239-280).
+    for examples in batch_iterator(dataset, batch_size, pad_final=False):
         n = len(examples)
+        host_batch = featurizer.featurize(pad_examples(examples, batch_size))
+        out = trainer.eval_step(featurizer.device_batch(host_batch))
         host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]
         for k in ("src_idx", "masks", "loss_masks"):
             host_batch[k] = host_batch[k][:n]
         for k in ("id", "src", "tgt", "tokens_size", "lengths"):
             host_batch[k] = host_batch[k][:n]
         if "loss" in out:
+            # Padded rows repeat real examples, so the batch loss is still a
+            # mean over valid-shaped rows; weight by n for the dataset mean.
             losses.append(float(out["loss"]))
+            weights.append(n)
         batches.append(host_batch)
 
     metric = Metric(tokenizer)
@@ -215,7 +224,7 @@ def evaluate_model(
         should_remove_de=should_remove_de,
     )
     if losses:
-        results["avg_loss"] = float(np.mean(losses))
+        results["avg_loss"] = float(np.average(losses, weights=weights))
     return results
 
 
