@@ -76,7 +76,9 @@ class RealiseConfig:
     fusion: str = "gate"
 
     out_num_layers: int = 3          # output block depth (src/models.py:691-693)
-    zero_out_positions: bool = True  # arch3 forces position_ids=0 (src/models.py:852-854)
+    # Every zoo model with an output block passes position_ids=zeros to it —
+    # unconditional in the reference (src/models.py:144,232,363,494,632,853).
+    zero_out_positions: bool = True
 
     # Correction head: "linear_tied" (classifier tied to word embeddings,
     # src/models.py:700-701) | "mlm" (BertOnlyMLMHead, src/models.py:912,1009).
@@ -157,19 +159,19 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
         out_num_layers=0),
     "bert-pho1": _preset(
         pho_encoder="pho1", res_encoder="none", fusion="merged",
-        out_num_layers=2, zero_out_positions=False),
+        out_num_layers=2),
     "bert-pho2": _preset(
         pho_encoder="pho2", res_encoder="none", fusion="merged",
-        out_num_layers=2, zero_out_positions=False),
+        out_num_layers=2),
     "bert-pho1-res": _preset(
         pho_encoder="pho1", res_encoder="resnet", fusion="merged",
-        out_num_layers=2, zero_out_positions=False, num_fonts=1),
+        out_num_layers=2, num_fonts=1),
     "bert-pho2-res": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="merged",
-        out_num_layers=2, zero_out_positions=False, num_fonts=1),
+        out_num_layers=2, num_fonts=1),
     "bert-pho2-res-arch2": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="concat",
-        out_num_layers=2, zero_out_positions=False, num_fonts=1),
+        out_num_layers=2, num_fonts=1),
     "bert-pho2-res-arch3": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="gate",
         out_num_layers=3, zero_out_positions=True),

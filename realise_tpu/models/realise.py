@@ -146,10 +146,12 @@ def init_realise(key, cfg: RealiseConfig,
     if cfg.with_res:
         res_params, res_state = init_char_resnet(keys[3], cfg.num_fonts,
                                                  cfg.res_encoder, cfg.hidden_size)
-        params["res"] = {
-            "resnet": res_params,
-            "layer_norm": init_layer_norm(cfg.hidden_size),
-        }
+        params["res"] = {"resnet": res_params}
+        if cfg.fusion != "merged":
+            # resnet_layernorm exists only in arch2/3/4; the merged
+            # SpellBertPho{1,2}Res models sum raw conv features
+            # (src/models.py:485-489 vs :612,:687).
+            params["res"]["layer_norm"] = init_layer_norm(cfg.hidden_size)
         state["resnet"] = res_state
         if glyphs is None:
             glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
@@ -183,8 +185,14 @@ def tie_cls_weight_noop():
 # ==========================================================================
 def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
                  deterministic, rng, use_pallas,
-                 pho_table: Optional[jax.Array] = None) -> jax.Array:
-    """pinyin chars → GRU last hidden per token → pho BERT (B, S, H)."""
+                 pho_table: Optional[jax.Array] = None,
+                 extra_embeds: Optional[jax.Array] = None) -> jax.Array:
+    """pinyin chars → GRU last hidden per token → pho BERT (B, S, H).
+
+    ``extra_embeds``: raw features summed into the GRU hiddens *before* the
+    pho BERT — the merged-fusion models feed raw resnet features here
+    (src/models.py:487-489 SpellBertPho2Res: pho_hiddens + res_hiddens →
+    shared pho_res_model)."""
     b, s = batch["src_idx"].shape
     dtype = jnp.dtype(cfg.dtype)
     if pho_table is not None:
@@ -197,6 +205,8 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
         gru_h = gru_last_hidden(params["gru"], emb, pho_lens,
                                 use_pallas=use_pallas)
         gru_h = gru_h.reshape(b, s, cfg.hidden_size)
+    if extra_embeds is not None:
+        gru_h = gru_h + extra_embeds
     return bert_model(params["model"], cfg, inputs_embeds=gru_h,
                       attention_mask=attention_mask,
                       deterministic=deterministic, rng=site_rng(rng, 11),
@@ -204,11 +214,17 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
 
 
 def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
-                 deterministic, rng, use_pallas) -> jax.Array:
-    """sum of initial/final/tone embeddings → pho BERT (src/models.py:124-137)."""
+                 deterministic, rng, use_pallas,
+                 extra_embeds: Optional[jax.Array] = None) -> jax.Array:
+    """sum of initial/final/tone embeddings → pho BERT (src/models.py:124-137).
+
+    ``extra_embeds``: raw resnet features for the merged Pho1Res model,
+    summed before the shared pho BERT (src/models.py:356-357)."""
     dtype = jnp.dtype(cfg.dtype)
     # pho1_idx: (B, S, 3) — one table, three lookups summed.
     emb = embed(params["embeddings"], batch["pho1_idx"], dtype=dtype).sum(axis=2)
+    if extra_embeds is not None:
+        emb = emb + extra_embeds
     return bert_model(params["model"], cfg, inputs_embeds=emb,
                       attention_mask=attention_mask,
                       deterministic=deterministic, rng=site_rng(rng, 11),
@@ -216,8 +232,13 @@ def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
 
 
 def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
-                res_table: Optional[jax.Array] = None):
-    """glyph gather → CharResNet → LN (src/models.py:829-838)."""
+                res_table: Optional[jax.Array] = None,
+                apply_ln: bool = True):
+    """glyph gather → CharResNet → LN (src/models.py:829-838).
+
+    ``apply_ln=False`` for merged-fusion models: SpellBertPho{1,2}Res have no
+    resnet LayerNorm — raw conv features are summed into the pho stream
+    (src/models.py:354-357, 485-489); the LN exists only in arch2/3/4."""
     b, s = src_idx.shape
     dtype = jnp.dtype(cfg.dtype)
     if res_table is not None:
@@ -233,7 +254,8 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
                                        variant=cfg.res_encoder,
                                        hidden_size=cfg.hidden_size)
         feats = feats.reshape(b, s, cfg.hidden_size)
-    feats = layer_norm(params["layer_norm"], feats, cfg.layer_norm_eps)
+    if apply_ln:
+        feats = layer_norm(params["layer_norm"], feats, cfg.layer_norm_eps)
     return feats, new_state
 
 
@@ -297,22 +319,34 @@ def apply_realise(
                      deterministic=deterministic, rng=site_rng(rng, 10),
                      use_pallas=use_pallas)
 
+    # Merged fusion (SpellBertPho{1,2}[Res]) sums RAW res features into the
+    # RAW pho features before the shared pho BERT and has no res LayerNorm
+    # (src/models.py:354-357, 485-489); every other fusion runs res as its
+    # own LayerNormed stream (src/models.py:836-838).
+    merged = cfg.fusion == "merged"
+
+    new_state = state
+    res_h = None
+    if cfg.with_res:
+        res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
+                                          train, res_table=tables.get("res"),
+                                          apply_ln=not merged)
+        new_state = dict(state)
+        new_state["resnet"] = res_bn_state
+
     streams = [sem]
+    res_into_pho = res_h if merged else None
     if cfg.pho_encoder == "pho2":
         streams.append(_pho2_stream(params["pho"], cfg, batch, attention_mask,
                                     deterministic, rng, use_pallas,
-                                    pho_table=tables.get("pho")))
+                                    pho_table=tables.get("pho"),
+                                    extra_embeds=res_into_pho))
     elif cfg.pho_encoder == "pho1":
         streams.append(_pho1_stream(params["pho"], cfg, batch, attention_mask,
-                                    deterministic, rng, use_pallas))
-
-    new_state = state
-    if cfg.with_res:
-        res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
-                                          train, res_table=tables.get("res"))
+                                    deterministic, rng, use_pallas,
+                                    extra_embeds=res_into_pho))
+    if res_h is not None and not merged:
         streams.append(res_h)
-        new_state = dict(state)
-        new_state["resnet"] = res_bn_state
 
     gates = None
     if cfg.fusion == "baseline":
@@ -323,10 +357,11 @@ def apply_realise(
                           use_pallas=use_pallas, return_gates=return_gates)
         hiddens, gates = out if return_gates else (out, None)
     elif cfg.fusion == "merged":
-        # pho+res summed into one auxiliary stream, then concat-integrate
-        # (src/models.py:382-511 SpellBertPho2Res).
-        aux = sum_fusion(streams[1:])
-        hiddens = concat_fusion(params["fusion"], [sem, aux])
+        if not cfg.with_pho:
+            # Degenerate ablation (merged fusion without a pho stream):
+            # the res features become the aux stream directly.
+            streams = [sem, res_h]
+        hiddens = concat_fusion(params["fusion"], streams)
     elif cfg.fusion == "concat":
         hiddens = concat_fusion(params["fusion"], streams)
     elif cfg.fusion == "sum":

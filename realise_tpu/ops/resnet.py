@@ -163,4 +163,9 @@ def char_resnet(
         h, s = basic_block(params[name], state[name], h, stride=2, train=train)
         new_state[name] = s
     n = h.shape[0]
+    if variant == "resnet1":
+        # torch's h.view flattens NCHW channel-major (src/char_cnn.py:73);
+        # flattening NHWC directly would permute the 768 features and break
+        # checkpoint parity for image_model_type=1.
+        h = jnp.transpose(h, (0, 3, 1, 2))
     return h.reshape(n, -1), new_state

@@ -31,10 +31,12 @@ import numpy as np
 
 _ASSET_TABLE = os.path.join(os.path.dirname(__file__), "assets", "pinyin_table.tsv")
 
-_TONE3_SPECIAL = {
-    # The reference hard-codes 嗯 → (NULL initial, 'en', tone 2)
-    # (src/utils.py:24-25). In tone-first string form that is "2en".
-    "嗯": "en2",
+# The reference hard-codes 嗯 → (NULL initial, 'en', tone 2) in Pinyin(1)
+# ONLY (src/utils.py:24-25); its Pinyin2 uses raw pypinyin output for 嗯
+# ('n2' → tone-first '2n', src/utils.py:76-87). So the special case lives in
+# Pinyin1Convertor.get_pinyin, not in the shared tone3() helper.
+_PINYIN1_SPECIAL = {
+    "嗯": ("[NULL]", "en", "2"),
 }
 
 
@@ -75,8 +77,6 @@ def tone3(char: str) -> str:
     """
     if len(char) != 1:
         return "U"
-    if char in _TONE3_SPECIAL:
-        return _TONE3_SPECIAL[char]
     mod = _pypinyin_module()
     if mod is not None:
         s = mod.pinyin(
@@ -117,6 +117,10 @@ class Pinyin1Convertor:
         return len(self.vocab_list)
 
     def get_pinyin(self, char: str) -> Tuple[str, str, str]:
+        if char in _PINYIN1_SPECIAL:
+            # 嗯 special case exists only in the reference's Pinyin(1)
+            # (src/utils.py:24-25); Pinyin2 sees raw pypinyin output.
+            return _PINYIN1_SPECIAL[char]
         s = tone3(char)
         if s == "U":
             return "[UNK]", "[UNK]", "[UNK]"
