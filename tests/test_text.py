@@ -150,3 +150,46 @@ def test_build_glyph_table_multifont():
     assert table.shape == (3, 3, 32, 32)
     # Traditional channel of 国 (→國) must differ from simplified channel.
     assert not np.array_equal(table[2, 0], table[2, 2])
+
+
+# ---------------------------------------------------------------------------
+# Full-coverage pinyin table (round-2: the reference gets pinyin for every
+# Chinese char from pypinyin, src/utils.py:26-31; we ship a table instead).
+def test_pinyin_table_covers_all_gb2312():
+    """Every GB2312 char (6763 = the common simplified charset) has a
+    non-'U' TONE3 reading — the phonetic stream never degrades to unknown
+    on real simplified text."""
+    import re
+
+    chars = []
+    for hi in range(0xB0, 0xF8):
+        for lo in range(0xA1, 0xFF):
+            try:
+                chars.append(bytes([hi, lo]).decode("gb2312"))
+            except UnicodeDecodeError:
+                pass
+    assert len(chars) == 6763
+    bad = [c for c in chars
+           if not re.fullmatch(r"[a-z]+[1-5]", tone3(c))]
+    assert not bad, f"{len(bad)} GB2312 chars lack pinyin: {''.join(bad[:20])}"
+
+
+def test_pinyin_table_covers_traditional():
+    """Common traditional chars (BERT-Chinese vocab has both scripts) reach
+    < 1% unknown-rate."""
+    sample = "愛國東馬鳥龍書長風飛雲電學體萬與專業們來個時會後說這進對開關門問間聞陽陰難雞鴨魚點黨齊濟漢湯熱燈現環確禮離種積稱筆簡類糧"
+    unk = [c for c in sample if tone3(c) == "U"]
+    assert not unk, f"traditional chars without pinyin: {''.join(unk)}"
+    assert tone3("愛") == "ai4"
+    assert tone3("說") == "shuo1"
+
+
+def test_pho2_raw_pypinyin_for_ng():
+    """Pinyin2 uses raw pypinyin output for 嗯 ('n2' → '2n'); only Pinyin1
+    has the hand-written special case (reference src/utils.py:24-25 vs
+    :76-87)."""
+    assert tone3("嗯") == "n2"
+    conv = Pinyin2Convertor()
+    assert conv.get_pinyin("嗯") == "2n"
+    # Pinyin1 keeps the reference's explicit override.
+    assert Pinyin1Convertor().get_pinyin("嗯") == ("[NULL]", "en", "2")
