@@ -39,6 +39,7 @@ from realise_tpu.data.corpus import (
     write_tsv,
 )
 from realise_tpu.data.dataset import save_pkl_dataset
+from realise_tpu.data.fixes import train_fixes_for
 from realise_tpu.text.tokenizer import WordPieceTokenizer
 
 
@@ -74,9 +75,12 @@ def main(argv=None):
         with open(args.input, "rb") as f:
             text = f.read().decode(errors="replace")
         if args.format == "sighan13-sample":
-            records = parse_sighan13_sample(text)
+            records = parse_sighan13_sample(
+                text, text_fixes=train_fixes_for(args.input, 13))
         elif args.format == "sighan-train":
-            records = parse_sighan_training(text, year=args.year)
+            records = parse_sighan_training(
+                text, year=args.year,
+                text_fixes=train_fixes_for(args.input, args.year))
         elif args.format == "wang271k":
             records = parse_wang271k(text)
         else:  # sighan-test

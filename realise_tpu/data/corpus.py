@@ -182,13 +182,20 @@ def _apply_mistakes(src: str, mistakes: Sequence[Tuple[int, str, str]]) -> str:
     tgt = list(src)
     for pos, wrong, correct in mistakes:
         if len(wrong) != len(correct):
-            raise ValueError(f"wrong/correct length mismatch at {pos}")
+            raise ValueError(
+                f"wrong/correct length mismatch at {pos}: {wrong!r} vs "
+                f"{correct!r} — the raw corpus needs a repair entry in "
+                f"realise_tpu/data/fixes.py (a length-equalizing "
+                f"<CORRECTION> patch, cf. trainset.py:292-299)")
         for i, (w, c) in enumerate(zip(wrong, correct)):
             idx = pos + i
             if idx >= len(tgt) or (tgt[idx] != w and tgt[idx] != c):
                 raise ValueError(
-                    f"mistake does not match source at {idx}: "
-                    f"{tgt[idx] if idx < len(tgt) else '<oob>'} vs {w}")
+                    f"mistake {wrong!r}→{correct!r} does not match source "
+                    f"at {idx} (saw {tgt[idx] if idx < len(tgt) else '<oob>'!r} "
+                    f"in {src!r}) — likely an off-by-one location in the raw "
+                    f"corpus; add a location repair to "
+                    f"realise_tpu/data/fixes.py")
             tgt[idx] = c
     return "".join(tgt)
 
@@ -200,7 +207,10 @@ def _locate(src: str, wrong: str, pos: int) -> int:
     while True:
         left = src.find(wrong, start)
         if left < 0:
-            raise ValueError(f"{wrong!r} not found covering position {pos}")
+            raise ValueError(
+                f"{wrong!r} not found covering position {pos} in {src!r} — "
+                f"likely a corrupt location/WRONG in the raw corpus; add a "
+                f"repair to realise_tpu/data/fixes.py")
         if left <= pos <= left + len(wrong) - 1:
             return left
         start = left + 1
@@ -225,11 +235,21 @@ def _wrap_xml(text: str) -> ET.Element:
     return ET.fromstring("<xml>" + text + "</xml>")
 
 
+def _iter_fixes(text_fixes) -> Sequence[Tuple[str, str]]:
+    """Accept fix tables as dicts or (old, new) pair sequences
+    (realise_tpu.data.fixes ships the per-corpus tables as tuples)."""
+    if not text_fixes:
+        return ()
+    if hasattr(text_fixes, "items"):
+        return tuple(text_fixes.items())
+    return tuple(text_fixes)
+
+
 def parse_sighan13_sample(text: str,
-                          text_fixes: Optional[Dict[str, str]] = None,
+                          text_fixes=None,
                           t2s=None) -> List[Dict]:
     """SIGHAN13 sample-set SGML (trainset.py:109-225)."""
-    for old, new in (text_fixes or {}).items():
+    for old, new in _iter_fixes(text_fixes):
         text = text.replace(old, new)
     text = re.sub(r"wrong_position=(\S*)>", r'wrong_position="\1">', text)
     root = _wrap_xml(text)
@@ -252,10 +272,10 @@ def parse_sighan13_sample(text: str,
 
 
 def parse_sighan_training(text: str, year: int,
-                          text_fixes: Optional[Dict[str, str]] = None,
+                          text_fixes=None,
                           t2s=None) -> List[Dict]:
     """SIGHAN14/15 training SGML (trainset.py:487-610)."""
-    for old, new in (text_fixes or {}).items():
+    for old, new in _iter_fixes(text_fixes):
         text = text.replace(old, new)
     root = _wrap_xml(text)
     records = []
@@ -305,9 +325,13 @@ _PID_RE = re.compile(r"\(pid=(.+?)\)")
 
 
 def parse_sighan_test(input_text: str, truth_text: str,
-                      year: int, t2s=None) -> List[Dict]:
+                      year: int, t2s=None,
+                      apply_fixes: bool = True) -> List[Dict]:
     """SIGHAN test input (``(pid=…)\ttext``) + truth label lines
-    (testset.py:125-254)."""
+    (testset.py:125-254), including the per-year test repairs
+    (testset.py:78-124 → realise_tpu.data.fixes, keyed by pid)."""
+    from realise_tpu.data.fixes import TEST_LABEL_OVERRIDES, apply_test_fixes
+
     t2s = t2s or make_t2s()
     inputs = {}
     for line in input_text.splitlines():
@@ -316,12 +340,18 @@ def parse_sighan_test(input_text: str, truth_text: str,
         head, _, sent = line.partition("\t")
         m = _PID_RE.search(head)
         pid = m.group(1) if m else head.strip()
-        inputs[pid] = normalize_punct(sent.strip().replace(" ", ""))
+        sent = sent.strip()
+        if apply_fixes:
+            sent = apply_test_fixes(year, pid, sent)
+        inputs[pid] = normalize_punct(sent.replace(" ", ""))
 
     records = []
     for line in truth_text.splitlines():
         if not line.strip():
             continue
+        if apply_fixes:
+            pid_head = line.split(",", 1)[0].strip()
+            line = TEST_LABEL_OVERRIDES.get((year, pid_head), line)
         parts = [p.strip() for p in re.split(r",\s*", line)]
         pid = parts[0]
         src = inputs[pid]

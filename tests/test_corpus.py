@@ -167,3 +167,97 @@ def test_records_to_examples(tokenizer, tmp_path):
     p = str(tmp_path / "run.pkl")
     save_pkl_dataset(examples, p)
     assert load_pkl_dataset(p)[0]["id"] == "r1"
+
+
+# ---------------------------------------------------------------------------
+# Corpus repair tables (round-2: the reference's ~60 hand-written byte fixes,
+# trainset.py:77-106,228-485 and testset.py:78-124 → realise_tpu/data/fixes.py)
+# ---------------------------------------------------------------------------
+def test_train_fixes_dispatch():
+    from realise_tpu.data.fixes import TRAIN_FIXES, train_fixes_for
+
+    assert train_fixes_for("SIGHAN2014/Training/B1_training.sgml", 14) \
+        is TRAIN_FIXES["sighan14-b1"]
+    assert train_fixes_for("C1_training.sgml", 14) is TRAIN_FIXES["sighan14-c1"]
+    assert train_fixes_for("SIGHAN15_CSC_A2_Training.sgml", 15) \
+        is TRAIN_FIXES["sighan15-a2"]
+    assert train_fixes_for("SIGHAN15_CSC_B2_Training.sgml", 15) \
+        is TRAIN_FIXES["sighan15-b2"]
+    assert train_fixes_for("Bakeoff2013_SampleSet_WithError_00001-00350.txt",
+                           13) is TRAIN_FIXES["sighan13-witherror"]
+    assert train_fixes_for("Bakeoff2013_SampleSet_WithoutError.txt", 13) == ()
+    assert train_fixes_for("train.sgml", 27) == ()  # wang271k: no fixes
+
+
+# A corrupt-SGML fixture that needs a fix table to parse: a mojibake char in
+# the passage and an off-by-one MISTAKE location (the two dominant corruption
+# classes in the real SIGHAN files).
+BROKEN_SGML = """<ESSAY title="t">
+<TEXT>
+<PASSAGE id="B1-0001-1">他们多很高兴�以我陪他们。</PASSAGE>
+</TEXT>
+<MISTAKE id="B1-0001-1" location="9">
+<WRONG>陪</WRONG>
+<CORRECTION>赔</CORRECTION>
+</MISTAKE>
+</ESSAY>"""
+
+FIXTURE_FIXES = (
+    ("高兴�以", "高兴所以"),
+    ('<MISTAKE id="B1-0001-1" location="9">',
+     '<MISTAKE id="B1-0001-1" location="10">'),
+)
+
+
+def test_fix_table_repairs_broken_sgml(tmp_path):
+    # Unfixed: the off-by-one location cannot be located and raises an
+    # actionable error pointing at the fix mechanism.
+    with pytest.raises(ValueError, match="fixes.py"):
+        parse_sighan_training(BROKEN_SGML, year=14, t2s=IDENTITY)
+
+    recs = parse_sighan_training(BROKEN_SGML, year=14,
+                                 text_fixes=FIXTURE_FIXES, t2s=IDENTITY)
+    assert recs[0]["src"] == "他们多很高兴所以我陪他们。"
+    assert recs[0]["errors"] == [(10, "赔")]
+
+    # Golden byte-compare of the emitted TSV + label file.
+    tsv = tmp_path / "out.tsv"
+    lbl = tmp_path / "out.lbl.tsv"
+    write_tsv(recs, str(tsv))
+    write_label_file(recs, str(lbl))
+    assert tsv.read_bytes().decode("utf-8") == (
+        "sighan14-B1-0001-1\t他们多很高兴所以我陪他们。\t"
+        "他们多很高兴所以我赔他们。\t[(10, '赔')]\n")
+    assert lbl.read_bytes().decode("utf-8") == "sighan14-B1-0001-1, 10, 赔\n"
+
+
+def test_unfixed_mismatch_is_actionable():
+    """A MISTAKE that cannot be located raises an error that names the fix
+    mechanism instead of crashing opaquely."""
+    bad = BROKEN_SGML.replace("<WRONG>陪</WRONG>", "<WRONG>伴</WRONG>")
+    with pytest.raises(ValueError, match="fixes.py"):
+        parse_sighan_training(bad, year=14, t2s=IDENTITY)
+
+
+def test_test_fixes_by_pid():
+    from realise_tpu.data.fixes import apply_test_fixes
+
+    # year 13: global ellipsis/paren strip (testset.py:80-84)
+    assert apply_test_fixes(13, "anything", "好(的)…啊") == "好的啊"
+    # year 15: pid-keyed quote repair (testset.py:104-107)
+    fixed = apply_test_fixes(15, "A2-0506-1", "所以我在＂義大利麵方子＂已經定位了")
+    assert fixed == "所以我在“義大利麵方子”已經定位了。"
+    # other pids untouched
+    assert apply_test_fixes(15, "A2-9999-9", "好。") == "好。"
+
+
+def test_test_label_override():
+    """Broken truth rows are replaced by pid (testset.py:86-91) — the fixed
+    row scores as error-free."""
+    inputs = "(pid=B1-1430-2)\t我好．．．\n(pid=B1-0001-1)\t我号。"
+    truth = "B1-1430-2, 8, 恤, 55, 恤\nB1-0001-1, 2, 好"
+    recs = parse_sighan_test(inputs, truth, year=14, t2s=IDENTITY)
+    by_id = {r["id"]: r for r in recs}
+    assert by_id["B1-1430-2"]["errors"] == []
+    assert by_id["B1-1430-2"]["src"] == "我好。"  # ．．． → 。 input fix
+    assert by_id["B1-0001-1"]["errors"] == [(2, "好")]
