@@ -110,9 +110,16 @@ def make_s2t_converter() -> Callable[[str], str]:
 
 
 # --------------------------------------------------------------------------
-def _procedural_glyph(char: str, size: int = GLYPH_SIZE) -> np.ndarray:
-    """Deterministic pseudo-glyph: codepoint-seeded 8×8 bitmap → size×size."""
-    digest = hashlib.blake2b(char.encode("utf-8"), digest_size=8).digest()
+def _procedural_glyph(char: str, size: int = GLYPH_SIZE,
+                      salt: int = 0) -> np.ndarray:
+    """Deterministic pseudo-glyph: codepoint-seeded 8×8 bitmap → size×size.
+
+    ``salt`` (the font-channel index) varies the hash so the multi-font
+    stack gets pairwise-distinct channels even without real TTFs — the
+    reference's three fonts (simhei/xiaozhuan/traditional) are genuinely
+    different images (src/models.py:738-760)."""
+    key = f"{salt}:{char}".encode("utf-8")
+    digest = hashlib.blake2b(key, digest_size=8).digest()
     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))  # 64 bits
     small = bits.reshape(8, 8).astype(np.float32) * 255.0
     scale = size // 8
@@ -139,6 +146,7 @@ def render_vocab_font(
     font_size: int = GLYPH_SIZE,
     use_traditional: bool = False,
     is_renderable: Optional[Callable[[str], bool]] = None,
+    procedural_salt: int = 0,
 ) -> np.ndarray:
     """Render all vocab tokens with one font → (V, 32, 32) float32, globally
     mean/std normalized over the whole tensor (src/models.py:792-793)."""
@@ -164,7 +172,8 @@ def render_vocab_font(
         if font is not None:
             images[i] = _pil_glyph(font, char, font_size)
         else:
-            images[i] = _procedural_glyph(char, font_size)
+            images[i] = _procedural_glyph(char, font_size,
+                                          salt=procedural_salt)
 
     std = images.std()
     if std == 0:
@@ -197,7 +206,8 @@ def build_glyph_table(
         plan = plan[:-1] + [(base, True)]
 
     channels = [
-        render_vocab_font(vocab, font_path=fp, font_size=font_size, use_traditional=trad)
-        for fp, trad in plan
+        render_vocab_font(vocab, font_path=fp, font_size=font_size,
+                          use_traditional=trad, procedural_salt=i)
+        for i, (fp, trad) in enumerate(plan)
     ]
     return np.stack(channels, axis=1)

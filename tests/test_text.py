@@ -1,5 +1,7 @@
 """Tokenizer + pinyin + glyph featurizer tests."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -193,3 +195,58 @@ def test_pho2_raw_pypinyin_for_ng():
     assert conv.get_pinyin("嗯") == "2n"
     # Pinyin1 keeps the reference's explicit override.
     assert Pinyin1Convertor().get_pinyin("嗯") == ("[NULL]", "en", "2")
+
+
+def test_procedural_font_channels_pairwise_distinct():
+    """All font channels differ for CJK chars even with procedural glyphs
+    (round-2: channels are salted by font index; previously channels 0 and
+    1 rendered identical bitmaps, degenerating the multi-font stack)."""
+    vocab = ["好", "中", "文"]
+    table = build_glyph_table(vocab, num_fonts=3, use_traditional_font=True)
+    for v in range(len(vocab)):
+        for i in range(3):
+            for j in range(i + 1, 3):
+                assert not np.array_equal(table[v, i], table[v, j]), (v, i, j)
+
+
+# ------------------------------------------------------- real-TTF fixture
+FIXTURE_FONT = os.path.join(os.path.dirname(__file__), "fixtures",
+                            "tiny_cjk.ttf")
+
+
+def test_pil_rasterization_with_real_ttf():
+    """The PIL path (font.getmask -> crop/pad -> global normalize) against
+    a real TrueType font — the byte-level recipe that must match the
+    reference's glyph build (src/models.py:777-793). Fixture font built by
+    tools/gen_test_font.py (the env ships no CJK fonts)."""
+    vocab = ["[PAD]", "一", "人", "好", "中"]
+    imgs = render_vocab_font(vocab, font_path=FIXTURE_FONT)
+    assert imgs.shape == (5, 32, 32)
+    # Globally normalized over the whole tensor (src/models.py:792-793).
+    assert abs(imgs.mean()) < 1e-5
+    assert abs(imgs.std() - 1.0) < 1e-5
+    # Non-renderable [PAD] stays the all-zero raster (one constant value
+    # after normalization); CJK glyphs have real structure.
+    assert np.unique(imgs[0]).size == 1
+    for i in range(1, 5):
+        assert np.unique(imgs[i]).size > 1
+    # Distinct chars render distinct bitmaps.
+    for i in range(1, 5):
+        for j in range(i + 1, 5):
+            assert not np.array_equal(imgs[i], imgs[j])
+    # Deterministic across calls (checkpoint parity requirement).
+    np.testing.assert_array_equal(imgs, render_vocab_font(
+        vocab, font_path=FIXTURE_FONT))
+
+
+def test_build_glyph_table_with_ttf_and_traditional():
+    """Multi-font build with a real TTF: traditional channel re-renders the
+    s2t-converted char with the same font (src/models.py:747-760)."""
+    vocab = ["国", "好"]
+    table = build_glyph_table(vocab, num_fonts=3, use_traditional_font=True,
+                              font_paths=[FIXTURE_FONT] * 3)
+    assert table.shape == (2, 3, 32, 32)
+    # 国 -> 國 is in the s2t map but 國 is not in the fixture font's cmap,
+    # so the traditional channel falls back to .notdef (empty) — it must
+    # still be a valid normalized raster, not a crash.
+    assert np.isfinite(table).all()
