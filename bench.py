@@ -191,6 +191,9 @@ def main():
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace of the timed inference "
+                        "steps into this directory")
     args = p.parse_args()
 
     if args.smoke:
@@ -215,6 +218,12 @@ def main():
 
     # --- serving fast path (headline) ---
     infer_flops = compiled_flops(infer_step, params, state, infer_batch)
+    if args.trace_dir:
+        from realise_tpu.utils.profiler import trace
+
+        with trace(args.trace_dir):
+            time_fn(lambda: infer_step(params, state, infer_batch), iters=3)
+        _log(f"wrote profiler trace to {args.trace_dir}")
     sec = time_fn(lambda: infer_step(params, state, infer_batch),
                   iters=args.iters)
     sent_per_sec = bs / sec

@@ -24,7 +24,7 @@ from realise_tpu.cli.common import (
     setup_logging,
     logger,
 )
-from realise_tpu.data.features import Featurizer, make_example
+from realise_tpu.data.features import Featurizer
 from realise_tpu.eval.metric import Metric
 from realise_tpu.models.realise import apply_realise, precompute_inference_tables
 from realise_tpu.training.checkpoint import (
@@ -45,6 +45,9 @@ def build_parser():
                    help="append detected (pos, wrong→correct) edits")
     p.add_argument("--no_fast_path", action="store_true",
                    help="skip table precompute (slower, lower startup cost)")
+    p.add_argument("--native_featurizer", action="store_true",
+                   help="tokenize + assemble batches with the C++ featurizer "
+                        "(csrc/featurizer.cpp); requires --vocab_path")
     p.add_argument("--use_pallas", action="store_true")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", default=None)
@@ -69,6 +72,23 @@ def main(argv=None):
     tokenizer = build_tokenizer(args)
     featurizer = Featurizer(tokenizer, cfg)
 
+    native = None
+    if args.native_featurizer:
+        import os as _os
+
+        from realise_tpu.data.native import NativeFeaturizer
+
+        vocab_path = args.vocab_path
+        if vocab_path is None and args.data_dir:
+            vocab_path = _os.path.join(args.data_dir, "vocab.txt")
+        if vocab_path is None:
+            import tempfile
+
+            vocab_path = tokenizer.save_pretrained(tempfile.mkdtemp())
+        native = NativeFeaturizer(vocab_path)
+        logger.info("using native C++ featurizer (%d-token vocab)",
+                    native.vocab_size)
+
     tables = None
     if not args.no_fast_path:
         idx, lens = featurizer.pho2_tables()
@@ -92,9 +112,7 @@ def main(argv=None):
     metric = Metric(tokenizer)
     for start in range(0, len(sentences), args.batch_size):
         chunk = sentences[start : start + args.batch_size]
-        examples = [make_example(str(i), s, s, tokenizer)
-                    for i, s in enumerate(chunk)]
-        host = featurizer.featurize(examples, with_labels=False)
+        host = featurizer.featurize_raw(chunk, native=native)
         preds = np.asarray(step(params, state, featurizer.device_batch(host)))
         host["pred_idx"] = preds
         for i, sent in enumerate(chunk):

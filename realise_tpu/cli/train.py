@@ -87,6 +87,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "bucket, instead of always padding to max_seq_length")
     p.add_argument("--no_prefetch", action="store_true",
                    help="disable the background featurization thread")
+    p.add_argument("--trace_dir", default=None,
+                   help="capture a jax.profiler trace of the first "
+                        "--trace_steps training steps into this directory "
+                        "(TensorBoard-loadable)")
+    p.add_argument("--trace_steps", type=int, default=5)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir, "
                         "restoring params, BN stats, Adam moments and the "
@@ -202,9 +207,23 @@ def main(argv=None):
                 epoch += 1
 
         stream = batches() if args.no_prefetch else threaded_prefetch(batches())
-        trainer.fit(stream, max_steps=total_steps,
-                    logging_steps=args.logging_steps,
-                    save_steps=args.save_steps, save_fn=save_fn)
+
+        if args.trace_dir:
+            # Profile a few steps first (jax.profiler trace for TensorBoard),
+            # then continue untraced.
+            from realise_tpu.utils.profiler import trace
+
+            n_trace = min(args.trace_steps, total_steps)
+            with trace(args.trace_dir):
+                trainer.fit(stream, max_steps=n_trace,
+                            logging_steps=args.logging_steps,
+                            save_steps=args.save_steps, save_fn=save_fn)
+            logger.info("wrote profiler trace to %s", args.trace_dir)
+
+        summary = trainer.fit(stream, max_steps=total_steps,
+                              logging_steps=args.logging_steps,
+                              save_steps=args.save_steps, save_fn=save_fn)
+        logger.info("train summary: %s", summary)
         save_fn(trainer.train_state.step, trainer.train_state)
 
     if args.do_eval:

@@ -203,30 +203,34 @@ def threaded_prefetch(iterator, size: int = 2):
         yield item
 
 
-def prefetch_to_device(iterator, size: int = 2):
+def prefetch_to_device(iterator, size: int = 2, put_fn=None):
     """Double-buffered host→device transfer: keep ``size`` batches in flight.
 
     The TPU-native replacement for the reference's thread+CUDA-stream
     prefetcher (run_speedup.py:64-122) — jax transfers are already async, so
     a simple lookahead queue suffices (and has no queue.empty() race,
-    run_speedup.py:190).
+    run_speedup.py:190). ``put_fn`` maps a host batch to device arrays
+    (default ``jax.device_put``); the Trainer passes its sharding-aware
+    ``_put_batch`` so batches land pre-sharded. Used by ``Trainer.fit``.
     """
     import collections
 
     import jax
 
+    put = put_fn or jax.device_put
     queue = collections.deque()
+    it = iter(iterator)
 
     def enqueue(n):
         for _ in range(n):
             try:
-                host, device = next(iterator)
+                host = next(it)
             except StopIteration:
                 return
-            queue.append((host, jax.device_put(device)))
+            queue.append(put(host))
 
     enqueue(size)
     while queue:
-        host, device = queue.popleft()
+        item = queue.popleft()
         enqueue(1)
-        yield host, device
+        yield item

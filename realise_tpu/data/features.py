@@ -147,6 +147,49 @@ class Featurizer:
             batch["pho1_idx"] = self.pho1_table()[src_idx]  # (B, S, 3)
         return batch
 
+    def featurize_raw(self, sentences: Sequence[str],
+                      native=None,
+                      seq_len: Optional[int] = None) -> Dict:
+        """Raw sentences → the same host-batch contract as :meth:`featurize`.
+
+        ``native``: an optional :class:`realise_tpu.data.native.NativeFeaturizer`
+        — the C++ tokenizer then does tokenization + batch assembly in one
+        call (the per-step Python cost of the reference, run.py:68-101) and
+        only the pinyin table gather stays in numpy. Without it the Python
+        tokenizer path via :func:`make_example` is used. Both produce
+        identical arrays (tests/test_native.py parity).
+        """
+        cfg = self.cfg
+        s = seq_len or cfg.max_seq_length
+        if native is not None:
+            enc = native.encode_batch(list(sentences), max_len=s)
+            lengths = enc["lengths"]
+            batch = {
+                "id": [str(i) for i in range(len(sentences))],
+                "src": list(sentences),
+                "tgt": list(sentences),
+                # per-example python lists, trimmed to the true length
+                # (the padded (B, S) array is a transport format only).
+                "tokens_size": [
+                    enc["tokens_size"][i][: min(int(lengths[i]), s - 2)].tolist()
+                    for i in range(len(sentences))],
+                "lengths": lengths,
+                "src_idx": enc["src_idx"],
+                "masks": enc["masks"],
+                "loss_masks": enc["loss_masks"],
+            }
+            if cfg.pho_encoder == "pho2":
+                table, lens = self.pho2_tables()
+                batch["pho_idx"] = table[batch["src_idx"]]
+                batch["pho_lens"] = lens[batch["src_idx"]]
+            elif cfg.pho_encoder == "pho1":
+                batch["pho1_idx"] = self.pho1_table()[batch["src_idx"]]
+        else:
+            examples = [make_example(str(i), t, t, self.tokenizer)
+                        for i, t in enumerate(sentences)]
+            batch = self.featurize(examples, with_labels=False, seq_len=s)
+        return batch
+
     def cjk_token_mask(self) -> np.ndarray:
         """(V,) bool: vocab tokens that are single Chinese chars."""
         from realise_tpu.text.tokenizer import is_chinese_char

@@ -189,15 +189,28 @@ class Trainer:
         save_steps: int = 0,
         save_fn: Optional[Callable[[int, "TrainState"], None]] = None,
         log_fn: Optional[Callable[[Dict[str, Any]], None]] = None,
+        device_prefetch: int = 2,
     ) -> Dict[str, float]:
-        """Consume an iterable of device batches; returns summary stats."""
-        running = 0.0
-        window = 0.0
+        """Consume an iterable of host batches; returns summary stats.
+
+        ``device_prefetch`` keeps that many batches already transferred (and
+        mesh-sharded) on device so host→device copies overlap compute —
+        realise_tpu.data.dataset.prefetch_to_device with this trainer's
+        ``_put_batch``. 0 disables."""
+        from realise_tpu.data.dataset import prefetch_to_device
+
+        from realise_tpu.utils.profiler import StepTimer
+
+        if device_prefetch:
+            batches = prefetch_to_device(batches, size=device_prefetch,
+                                         put_fn=self._put_batch)
+        timer = StepTimer(warmup=2)
         count = 0
         t0 = time.time()
         last_loss = float("nan")
         for batch in batches:
-            loss = self.train_step(batch)
+            with timer:
+                loss = self.train_step(batch)
             count += 1
             step = self.train_state.step
             # Defer the host sync: read the loss scalar only at logging time.
@@ -211,6 +224,12 @@ class Trainer:
                 save_fn(step, self.train_state)
             if max_steps is not None and step >= max_steps:
                 break
+        jax.block_until_ready(self.train_state.params)
+        wall = time.time() - t0
         return {"steps": self.train_state.step,
                 "final_loss": float(last_loss),
-                "wall_time_s": time.time() - t0}
+                "wall_time_s": wall,
+                "steps_per_sec": count / wall if wall > 0 else 0.0,
+                # dispatch-time percentiles (steps are async; spikes here
+                # mean the host input pipeline stalled the queue).
+                "dispatch": timer.summary()}

@@ -4,9 +4,10 @@ The reference has no profiling at all (SummaryWriter is imported defensively
 and never used, reference: src/run.py:16-19; SURVEY.md §5.1). Here:
 
 * :func:`trace` — context manager around ``jax.profiler`` emitting a
-  TensorBoard-loadable trace directory (device timelines, HLO, memory),
-* :class:`StepTimer` — cheap wall-clock step timing with percentile summary,
-  used by the Trainer's logging and the bench harness.
+  TensorBoard-loadable trace directory (device timelines, HLO, memory);
+  wired to ``--trace_dir`` on the train CLI and ``bench.py``,
+* :class:`StepTimer` — cheap wall-clock timing with percentile summary;
+  ``Trainer.fit`` uses it for per-step dispatch-time percentiles.
 """
 
 from __future__ import annotations
@@ -17,11 +18,11 @@ from typing import Dict, List, Optional
 
 
 @contextlib.contextmanager
-def trace(log_dir: str, host_tracer_level: int = 2):
+def trace(log_dir: str):
     """Capture a jax.profiler trace: ``with trace('/tmp/trace'): step()``."""
     import jax
 
-    jax.profiler.start_trace(log_dir, host_tracer_level=host_tracer_level)
+    jax.profiler.start_trace(log_dir)
     try:
         yield log_dir
     finally:

@@ -60,3 +60,24 @@ def test_batch_throughput_sanity(native):
     sents = ["你好吗今天天气很好" * 3] * 512
     out = native.encode_batch(sents, max_len=64)
     assert out["src_idx"].shape == (512, 64)
+
+
+def test_featurize_raw_native_parity(native, tokenizer):
+    """featurize_raw with the C++ encoder equals the pure-Python path on the
+    FULL production batch contract (ids, masks, pinyin gathers, passthrough
+    fields) — the contract cli/correct.py serves with --native_featurizer."""
+    from realise_tpu.config import config_for
+    from realise_tpu.data.features import Featurizer
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     max_seq_length=16)
+    feat = Featurizer(tokenizer, cfg)
+    sentences = ["你好吗", "天气很好。", "hello你好"]
+    a = feat.featurize_raw(sentences, native=native)
+    b = feat.featurize_raw(sentences, native=None)
+    for key in ("src_idx", "masks", "loss_masks", "pho_idx", "pho_lens"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+    np.testing.assert_array_equal(np.asarray(a["lengths"]),
+                                  np.asarray(b["lengths"]))
+    assert a["tokens_size"] == b["tokens_size"]
+    assert a["src"] == b["src"]

@@ -223,3 +223,36 @@ def test_grad_accum_on_mesh_matches_single_device(tokenizer):
     a = np.asarray(tr_mesh.train_state.params["head"]["bias"])
     b = np.asarray(tr_1.train_state.params["head"]["bias"])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_fit_device_prefetch_and_dispatch_stats(tokenizer):
+    """Trainer.fit consumes host batches through the device-prefetch queue
+    and reports dispatch-time percentiles (round-2: prefetch_to_device and
+    StepTimer are production call sites, not idle code)."""
+    cfg, params, state, batch = _setup(tokenizer)
+    tr = Trainer(cfg, params, state, learning_rate=1e-3)
+
+    def batches():
+        for _ in range(4):
+            yield batch
+
+    summary = tr.fit(batches(), max_steps=4, logging_steps=0,
+                     device_prefetch=2)
+    assert summary["steps"] == 4
+    assert summary["steps_per_sec"] > 0
+    assert summary["dispatch"]["steps"] >= 1
+    assert np.isfinite(summary["dispatch"]["p50_s"])
+
+
+def test_profiler_trace_writes_artifacts(tokenizer, tmp_path):
+    """utils.profiler.trace captures a jax.profiler trace directory (wired
+    to --trace_dir on the train CLI and bench.py)."""
+    from realise_tpu.utils.profiler import trace
+
+    cfg, params, state, batch = _setup(tokenizer)
+    tr = Trainer(cfg, params, state)
+    d = str(tmp_path / "trace")
+    with trace(d):
+        tr.eval_step(batch)
+    files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
+    assert files, "profiler trace produced no artifacts"
