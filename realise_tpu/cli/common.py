@@ -199,10 +199,20 @@ def evaluate_model(
     # Iterate UNPADDED so n is the true example count; pad to batch_size only
     # for the (static-shape) device step and slice every field back to n.
     # The reference's evaluate() never duplicates rows (run.py:239-280).
+    from realise_tpu.parallel.distributed import local_slice, process_count
+
     for examples in batch_iterator(dataset, batch_size, pad_final=False):
         n = len(examples)
         host_batch = featurizer.featurize(pad_examples(examples, batch_size))
-        out = trainer.eval_step(featurizer.device_batch(host_batch))
+        if process_count() > 1:
+            # Multi-host: featurize only this process slice; the
+            # trainer reassembles the global batch and eval_step gathers
+            # the global predictions back to every host.
+            feed = featurizer.featurize(
+                local_slice(pad_examples(examples, batch_size)))
+        else:
+            feed = host_batch
+        out = trainer.eval_step(featurizer.device_batch(feed))
         host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]
         for k in ("src_idx", "masks", "loss_masks"):
             host_batch[k] = host_batch[k][:n]

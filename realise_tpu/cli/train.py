@@ -92,6 +92,14 @@ def build_parser() -> argparse.ArgumentParser:
                         "--trace_steps training steps into this directory "
                         "(TensorBoard-loadable)")
     p.add_argument("--trace_steps", type=int, default=5)
+    p.add_argument("--distributed", action="store_true",
+                   help="multi-host: jax.distributed.initialize() before "
+                        "device discovery (coordinator/count/id from "
+                        "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID, or autodetected on TPU pods); "
+                        "the mesh then spans the global device set and "
+                        "each process feeds its contiguous slice of every "
+                        "global batch")
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in output_dir, "
                         "restoring params, BN stats, Adam moments and the "
@@ -104,6 +112,16 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     setup_logging()
     force_platform(args.platform)
+    if args.distributed:
+        from realise_tpu.parallel.distributed import initialize
+
+        initialize()  # must run before any device discovery
+    from realise_tpu.parallel.distributed import (
+        is_main_process,
+        local_slice,
+        process_count,
+    )
+
     if not (args.do_train or args.do_eval or args.do_predict):
         args.do_train = True  # sensible default for smoke runs
 
@@ -135,6 +153,10 @@ def main(argv=None):
     batch_size = args.per_device_train_batch_size
     if mesh is not None and "data" in mesh.axis_names:
         batch_size *= mesh.shape["data"]
+    if batch_size % process_count():
+        raise SystemExit(
+            f"global batch {batch_size} must divide evenly across "
+            f"{process_count()} processes")
     steps_per_epoch = max(len(train_data) // batch_size, 1)
     total_steps = (args.max_steps if args.max_steps > 0
                    else int(steps_per_epoch * args.num_train_epochs
@@ -177,6 +199,10 @@ def main(argv=None):
     training_args = {k: v for k, v in vars(args).items()}
 
     def save_fn(step, ts):
+        # Process-0 gating, the reference's rank-0 checkpointing
+        # (run.py:223-230); other processes still synchronize on the step.
+        if not is_main_process():
+            return
         save_checkpoint(args.output_dir, step, ts.params, ts.state,
                         ts.opt_state, cfg=cfg, training_args=training_args)
         logger.info("saved checkpoint at step %d", step)
@@ -189,6 +215,10 @@ def main(argv=None):
                    if args.length_buckets else None)
 
         def batches():
+            # Every process iterates the same global batch order (same
+            # shuffle seed) and featurizes only its contiguous slice; the
+            # trainer reassembles the global array from per-process shards
+            # (no tail-dropping, unlike run.py:134-137).
             epoch = 0
             while True:
                 if buckets:
@@ -197,13 +227,14 @@ def main(argv=None):
                                                  seed=args.seed + epoch)
                     for seq_len, examples in it:
                         yield featurizer.device_batch(
-                            featurizer.featurize(examples, seq_len=seq_len))
+                            featurizer.featurize(local_slice(examples),
+                                                 seq_len=seq_len))
                 else:
                     for examples in batch_iterator(train_data, batch_size,
                                                    shuffle=True,
                                                    seed=args.seed + epoch):
                         yield featurizer.device_batch(
-                            featurizer.featurize(examples))
+                            featurizer.featurize(local_slice(examples)))
                 epoch += 1
 
         stream = batches() if args.no_prefetch else threaded_prefetch(batches())

@@ -161,10 +161,21 @@ class Trainer:
 
     # ------------------------------------------------------------------ api
     def _put_batch(self, device_batch: Dict[str, np.ndarray]):
-        arrays = {k: jnp.asarray(v) for k, v in device_batch.items()}
         if self.mesh is not None:
-            arrays = jax.device_put(arrays, batch_shardings(arrays, self.mesh))
-        return arrays
+            from realise_tpu.parallel.distributed import (
+                make_global_batch,
+                process_count,
+            )
+
+            if process_count() > 1:
+                # Multi-host: the caller feeds this process's LOCAL slice
+                # (realise_tpu.parallel.distributed.local_slice); assemble
+                # the global array from per-process shards.
+                return make_global_batch(device_batch, self.mesh,
+                                         batch_shardings)
+            arrays = {k: jnp.asarray(v) for k, v in device_batch.items()}
+            return jax.device_put(arrays, batch_shardings(arrays, self.mesh))
+        return {k: jnp.asarray(v) for k, v in device_batch.items()}
 
     def train_step(self, device_batch: Dict[str, np.ndarray]) -> float:
         ts = self.train_state
@@ -178,6 +189,12 @@ class Trainer:
     def eval_step(self, device_batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         ts = self.train_state
         out = self._eval_step(ts.params, ts.state, self._put_batch(device_batch))
+        if jax.process_count() > 1:
+            # Multi-host: outputs are global sharded arrays whose shards
+            # live on other hosts; gather the full value everywhere.
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
         return jax.tree.map(np.asarray, out)
 
     # ------------------------------------------------------------------ loop
