@@ -153,6 +153,48 @@ def synthetic_dataset(
     return data
 
 
+def synthetic_confusion_dataset(
+    tokenizer,
+    num_examples: int = 512,
+    min_len: int = 4,
+    max_len: int = 12,
+    error_rate: float = 0.3,
+    seed: int = 0,
+) -> List[Dict]:
+    """Synthetic CSC data with a LEARNABLE error distribution.
+
+    :func:`synthetic_dataset` corrupts with uniformly random chars — noise no
+    model can invert, so held-out correction F1 is bounded near zero there.
+    Here the CJK vocab is split into disjoint "content" and "error" halves
+    and corruption applies a FIXED injective confusion map content→error:
+    an error char in the source always decodes to the same content char, so
+    a model that learns the mapping (and that content chars pass through)
+    reaches high held-out F1. This is the accuracy-parity stand-in while the
+    real SIGHAN corpora are unavailable in CI (confusion-set corruption is
+    also how CSC errors behave: visually/phonetically confusable pairs).
+    """
+    from realise_tpu.data.features import make_example
+    from realise_tpu.text.tokenizer import is_chinese_char
+
+    rng = random.Random(seed)
+    cjk = sorted(t for t in tokenizer.vocab
+                 if len(t) == 1 and is_chinese_char(ord(t)))
+    if len(cjk) < 16:
+        raise ValueError("tokenizer vocab has too few CJK chars")
+    half = len(cjk) // 2
+    content, errors = cjk[:half], cjk[half : 2 * half]
+    confusion = dict(zip(content, errors))  # fixed, injective
+
+    data = []
+    for n in range(num_examples):
+        length = rng.randint(min_len, max_len)
+        tgt = [rng.choice(content) for _ in range(length)]
+        src = [confusion[c] if rng.random() < error_rate else c for c in tgt]
+        data.append(make_example(f"{20000 + n}", "".join(src), "".join(tgt),
+                                 tokenizer))
+    return data
+
+
 def dataset_labels(dataset: Sequence[Dict]) -> List[str]:
     """Gold label lines (``id, pos, char, ...``) from src/tgt texts —
     the build_lbl.py equivalent (data_process/build_lbl.py)."""

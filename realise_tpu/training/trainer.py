@@ -224,6 +224,7 @@ class Trainer:
         timer = StepTimer(warmup=2)
         count = 0
         t0 = time.time()
+        loss = None
         last_loss = float("nan")
         for batch in batches:
             with timer:
@@ -243,6 +244,8 @@ class Trainer:
                 break
         jax.block_until_ready(self.train_state.params)
         wall = time.time() - t0
+        if loss is not None:
+            last_loss = float(loss)  # one host sync, after the wall clock
         return {"steps": self.train_state.step,
                 "final_loss": float(last_loss),
                 "wall_time_s": wall,
