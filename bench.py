@@ -16,9 +16,13 @@ Measured by default (all at batch 256, S=128, bf16, full 21128 vocab):
 * **train**: the full jitted update (forward, backward, clip, AdamW,
   BN state) with encoder remat — realise_tpu.training.trainer.
 
-MFU uses XLA's own cost analysis for the FLOP count (compiled-module
-``cost_analysis()['flops']``) divided by wall time and the chip's bf16 peak
-— no hand FLOP math. Peak is looked up from ``device_kind``.
+MFU divides a documented analytic dense-matmul FLOP count
+(:func:`analytic_flops_per_sentence`) by wall time and the chip's bf16 peak
+(looked up from ``device_kind``). XLA's ``cost_analysis()`` is logged as a
+cross-check only: through the remote-TPU tunnel it undercounts, and Pallas
+kernels report no cost. Timing forces a one-element host readback per
+measurement because ``block_until_ready`` does not actually sync through
+the tunnel.
 
 The reference publishes no speed numbers (SURVEY.md §6), so ``vs_baseline``
 divides by an engineering estimate of the torch reference on its era
@@ -65,23 +69,64 @@ def peak_flops():
     import jax
 
     kind = jax.devices()[0].device_kind
-    for key, peak in PEAK_BF16.items():
+    # Longest prefix wins ('TPU v5 lite' must not match the v5p entry).
+    for key in sorted(PEAK_BF16, key=len, reverse=True):
         if kind.lower().startswith(key.lower()):
-            return peak, kind
+            return PEAK_BF16[key], kind
     return DEFAULT_PEAK, kind
 
 
 def compiled_flops(jitted, *args):
-    """XLA's FLOP estimate for one call, or None when unavailable."""
+    """XLA's FLOP estimate for one call (logged as a cross-check only —
+    through the remote-TPU tunnel it undercounts, and Pallas kernels report
+    no cost), or None when unavailable."""
     try:
         cost = jitted.lower(*args).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
         flops = cost.get("flops")
-        return float(flops) if flops else None
+        if flops:
+            _log(f"xla cost_analysis cross-check: "
+                 f"{float(flops) / 1e9:.1f} GFLOP/call")
+            return float(flops)
+        return None
     except Exception as e:  # pragma: no cover - cost analysis is best-effort
         _log(f"cost_analysis unavailable: {e}")
         return None
+
+
+def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
+    """Dense-matmul FLOP count for one S-token sentence of the arch3 model.
+
+    Per BERT layer (2·M·K·N per matmul): q/k/v/out 8SH², scores+ctx 4S²H,
+    FFN 4SHI; 19 layers total (12 sem + 4 pho + 3 out). Tied classifier
+    2SHV. The full forward adds the pinyin GRU (P steps × 3 gates × input +
+    recurrent projections per token: 12PH² with D=H) and the CharResNet
+    stack (per-glyph conv FLOPs from the channel plan). Training ≈ fwd +
+    2×bwd + one remat re-forward = 4× forward. LayerNorm/softmax/gather
+    costs are excluded (sub-1%), so MFU is slightly understated.
+    """
+    s, h, i = cfg.max_seq_length, cfg.hidden_size, cfg.intermediate_size
+    v = cfg.vocab_size
+    layers = cfg.num_hidden_layers + cfg.pho_num_layers + cfg.out_num_layers
+    per_layer = 8 * s * h * h + 4 * s * s * h + 4 * s * h * i
+    fwd = layers * per_layer + 2 * s * h * v
+    if not fast_path:
+        # GRU: P steps × (input 2·H·3H + recurrent 2·H·3H) per token.
+        fwd += s * cfg.pho2_max_len * 12 * h * h
+        # CharResNet: stride-2 basic blocks, 2 convs (+1×1 shortcut) each.
+        from realise_tpu.ops.resnet import _channels
+
+        chans = _channels(cfg.res_encoder, h)
+        prev, sp, conv = cfg.num_fonts, cfg.glyph_size, 0
+        for ch in chans:
+            sp //= 2
+            conv += 2 * 9 * prev * ch * sp * sp      # conv1 (stride 2)
+            conv += 2 * 9 * ch * ch * sp * sp        # conv2
+            conv += 2 * 1 * prev * ch * sp * sp      # 1×1 shortcut
+            prev = ch
+        fwd += s * conv
+    return fwd * (4.0 if train else 1.0)
 
 
 def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
@@ -168,18 +213,29 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
                           learning_rate=5e-5, total_steps=1000, seed=0)
 
     return (infer_step, full_forward_step, trainer,
-            (params, state, infer_batch, batch), batch_size)
+            (params, state, infer_batch, batch), batch_size, cfg)
+
+
+def _sync(out):
+    """Force REAL completion: fetch one element to the host.
+
+    ``jax.block_until_ready`` is a no-op through the remote-TPU tunnel used
+    here (measured: a 22-TFLOP chain 'completes' in 0.1 ms); only a host
+    readback actually waits for the device queue to drain.
+    """
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    jax.device_get(leaf.ravel()[:1])
 
 
 def time_fn(fn, iters: int, warmup: int = 2):
-    import jax
-
     for _ in range(warmup):
-        jax.block_until_ready(fn())
+        _sync(fn())
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn()
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -189,7 +245,11 @@ def main():
     p.add_argument("--no-train", dest="train", action="store_false",
                    help="skip the training-step benchmark")
     p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--use_pallas", dest="use_pallas", action="store_true",
+                   default=True,
+                   help="fused Pallas block kernels on the inference paths "
+                        "(default on: measured 1.3x end-to-end on v5e)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler trace of the timed inference "
@@ -207,9 +267,9 @@ def main():
     import jax
 
     bs = args.batch_size or (32 if args.smoke else 256)
-    infer_step, full_fwd, trainer, (params, state, infer_batch, batch), bs = \
-        build(tiny=args.smoke, batch_size=bs, train=args.train,
-              use_pallas=args.use_pallas)
+    (infer_step, full_fwd, trainer, (params, state, infer_batch, batch),
+     bs, cfg_full) = build(tiny=args.smoke, batch_size=bs, train=args.train,
+                           use_pallas=args.use_pallas)
 
     peak, kind = peak_flops()
     _log(f"device_kind={kind!r}, assumed bf16 peak {peak / 1e12:.0f} TFLOP/s")
@@ -217,7 +277,9 @@ def main():
     result = {}
 
     # --- serving fast path (headline) ---
-    infer_flops = compiled_flops(infer_step, params, state, infer_batch)
+    compiled_flops(infer_step, params, state, infer_batch)
+    infer_flops = bs * analytic_flops_per_sentence(cfg_full, fast_path=True,
+                                                   train=False)
     if args.trace_dir:
         from realise_tpu.utils.profiler import trace
 
@@ -235,16 +297,23 @@ def main():
     # --- full forward (training-shaped eval) ---
     ff_sec = time_fn(lambda: full_fwd(params, state, infer_batch),
                      iters=max(args.iters // 2, 3))
+    ff_flops = bs * analytic_flops_per_sentence(cfg_full, fast_path=False,
+                                                train=False)
     result["full_forward_sentences_per_sec"] = round(bs / ff_sec, 1)
-    _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms)")
+    result["full_forward_mfu"] = round(ff_flops / ff_sec / peak, 3)
+    _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms), "
+         f"MFU {ff_flops / ff_sec / peak:.1%}")
 
     # --- training step ---
     if trainer is not None:
         ts = trainer.train_state
         step_arr = jax.numpy.asarray(0, jax.numpy.int32)
         dbatch = trainer._put_batch(batch)
-        train_flops = compiled_flops(trainer._train_step, ts.params, ts.state,
-                                     ts.opt_state, dbatch, step_arr)
+        compiled_flops(trainer._train_step, ts.params, ts.state,
+                       ts.opt_state, dbatch, step_arr)
+        train_flops = bs * analytic_flops_per_sentence(cfg_full,
+                                                       fast_path=False,
+                                                       train=True)
 
         def one_step():
             t = trainer.train_state

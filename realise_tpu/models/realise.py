@@ -202,8 +202,7 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)
         emb = embed(params["embeddings"], pho_idx, dtype=dtype)
-        gru_h = gru_last_hidden(params["gru"], emb, pho_lens,
-                                use_pallas=use_pallas)
+        gru_h = gru_last_hidden(params["gru"], emb, pho_lens)
         gru_h = gru_h.reshape(b, s, cfg.hidden_size)
     if extra_embeds is not None:
         gru_h = gru_h + extra_embeds
@@ -310,8 +309,9 @@ def apply_realise(
     src_idx = batch["src_idx"]
     dtype = jnp.dtype(cfg.dtype)
     tables = inference_tables or {}
-    # Pallas kernels are forward-only (no custom VJPs yet): serving uses
-    # them, the differentiable training path stays on the jnp code.
+    # The fused Pallas block kernels (ops/pallas/bert_block.py) are
+    # forward-only: serving uses them, the differentiable training path
+    # stays on the jnp code.
     use_pallas = use_pallas and deterministic
 
     sem = bert_model(params["bert"], cfg, input_ids=src_idx,
@@ -354,7 +354,7 @@ def apply_realise(
     elif cfg.fusion in ("gate", "softmax_gate"):
         out = gate_fusion(params["fusion"], streams, attention_mask,
                           softmax_gate=(cfg.fusion == "softmax_gate"),
-                          use_pallas=use_pallas, return_gates=return_gates)
+                          return_gates=return_gates)
         hiddens, gates = out if return_gates else (out, None)
     elif cfg.fusion == "merged":
         if not cfg.with_pho:
@@ -543,8 +543,7 @@ def apply_pretrain(
     pho_idx = batch["pho_idx"].reshape(b * s, -1)
     pho_lens = batch["pho_lens"].reshape(b * s)
     emb = embed(params["pho"]["embeddings"], pho_idx, dtype=dtype)
-    gru_h = gru_last_hidden(params["pho"]["gru"], emb, pho_lens,
-                            use_pallas=use_pallas)
+    gru_h = gru_last_hidden(params["pho"]["gru"], emb, pho_lens)
     hidden = gru_h.reshape(b, s, cfg.hidden_size)
 
     if cfg.with_res:

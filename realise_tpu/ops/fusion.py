@@ -40,16 +40,15 @@ def gate_fusion(
     streams: List[jax.Array],
     attention_mask: jax.Array,
     softmax_gate: bool = False,
-    use_pallas: bool = False,
     return_gates: bool = False,
 ):
     """Fuse N streams with per-token gates conditioned on all streams +
-    the mean-pooled semantic stream (streams[0])."""
-    if use_pallas and not return_gates:
-        from realise_tpu.ops.pallas.fusion import fused_gate_fusion
+    the mean-pooled semantic stream (streams[0]).
 
-        return fused_gate_fusion(params, streams, attention_mask, softmax_gate)
-
+    Stays jnp: the split-matmul formulation below already avoids the
+    (B, S, (N+1)*H) concat in HBM, and a Pallas version measured slower
+    (1.28 vs 1.06 ms at B=256 on v5e — round 2), so it was retired.
+    """
     sem = streams[0]
     pooled = masked_mean_pool(sem, attention_mask)
     pooled = jnp.broadcast_to(pooled[:, None, :], sem.shape)

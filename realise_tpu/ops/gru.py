@@ -56,18 +56,16 @@ def gru_last_hidden(
     params,
     inputs: jax.Array,
     lengths: jax.Array,
-    use_pallas: bool = False,
 ) -> jax.Array:
     """Run the GRU and return the last valid hidden state per sequence.
 
     inputs: (N, P, D) padded sequences; lengths: (N,) valid step counts.
     Returns (N, H). Sequences with length 0 return the zero state.
+
+    Stays jnp: the recurrence is a <=8-step lax.scan whose input projections
+    are hoisted into one big matmul; a Pallas version was measured slower
+    and failed to compile at the (B*S, P, H) production shape (round 2).
     """
-    if use_pallas:
-        from realise_tpu.ops.pallas.gru import fused_gru_last_hidden
-
-        return fused_gru_last_hidden(params, inputs, lengths)
-
     n, p, _ = inputs.shape
     hidden_dim = params["w_hh"].shape[0]
     dtype = inputs.dtype

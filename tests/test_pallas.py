@@ -7,69 +7,58 @@ import pytest
 
 from realise_tpu.config import RealiseConfig
 from realise_tpu.ops.bert import attention_bias_from_mask
-from realise_tpu.ops.fusion import gate_fusion, init_gate_fusion
-from realise_tpu.ops.gru import gru_last_hidden, init_gru
-from realise_tpu.ops.pallas.attention import fused_attention
-from realise_tpu.ops.pallas.fusion import fused_gate_fusion
-from realise_tpu.ops.pallas.gru import fused_gru_last_hidden
 
 
-def test_fused_attention_matches_jnp():
-    key = jax.random.PRNGKey(0)
-    b, s, h, d = 2, 16, 2, 8
-    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (b, s, h, d))
-               for i in range(3))
-    mask = jnp.ones((b, s), jnp.int32).at[0, 10:].set(0)
+def test_attention_block_matches_jnp(tokenizer):
+    """Fused attention-block kernel == the jnp sub-block (q/k/v proj ->
+    attention -> out proj -> residual LN), including padding-mask handling."""
+    from realise_tpu.config import config_for
+    from realise_tpu.ops.bert import _self_attention, init_bert_layer
+    from realise_tpu.ops.pallas.bert_block import attention_block
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=64, hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_seq_length=8,
+                     hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 16))
+    mask = jnp.ones((3, 8), jnp.int32).at[1, 5:].set(0)
     bias = attention_bias_from_mask(mask, jnp.float32)
 
-    got = fused_attention(q, k, v, bias, interpret=True)
+    want = _self_attention(layer["attention"], x, bias, cfg,
+                           deterministic=True, rng=None)
+    got = attention_block(x, layer["attention"], bias,
+                          cfg.num_attention_heads, eps=cfg.layer_norm_eps,
+                          interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
-    scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / (d ** 0.5)
-    probs = jax.nn.softmax(scores + bias, axis=-1)
-    want = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
-def test_fused_attention_respects_mask():
-    key = jax.random.PRNGKey(1)
-    b, s, h, d = 1, 8, 1, 4
-    q = jax.random.normal(key, (b, s, h, d))
-    k1 = jax.random.normal(jax.random.fold_in(key, 1), (b, s, h, d))
-    v1 = jax.random.normal(jax.random.fold_in(key, 2), (b, s, h, d))
-    mask = jnp.array([[1, 1, 1, 1, 0, 0, 0, 0]])
-    bias = attention_bias_from_mask(mask, jnp.float32)
-    # Garbage in masked keys/values must not change valid outputs.
-    k2 = k1.at[:, 4:].set(99.0)
-    v2 = v1.at[:, 4:].set(-99.0)
-    o1 = fused_attention(q, k1, v1, bias, interpret=True)
-    o2 = fused_attention(q, k2, v2, bias, interpret=True)
-    np.testing.assert_allclose(np.asarray(o1[:, :4]), np.asarray(o2[:, :4]),
-                               atol=1e-5)
+    # Garbage in masked positions must not change valid outputs.
+    x2 = x.at[1, 5:].set(99.0)
+    got2 = attention_block(x2, layer["attention"], bias,
+                           cfg.num_attention_heads, eps=cfg.layer_norm_eps,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(got2[1, :5]),
+                               np.asarray(got[1, :5]), atol=2e-5)
 
 
-def test_fused_gru_matches_scan():
-    key = jax.random.PRNGKey(2)
-    params = init_gru(key, 12, 16, stddev=0.3)
-    n, p = 37, 6  # deliberately not a tile multiple
-    x = jax.random.normal(key, (n, p, 12))
-    lens = jax.random.randint(jax.random.fold_in(key, 1), (n,), 0, p + 1)
-    want = gru_last_hidden(params, x, lens)
-    got = fused_gru_last_hidden(params, x, lens, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+@pytest.mark.parametrize("n_splits", [1, 2])
+def test_ffn_block_matches_jnp(n_splits):
+    """Fused FFN-block kernel (incl. polynomial exact-erf gelu and the
+    split-intermediate accumulation path) == the jnp sub-block."""
+    from realise_tpu.config import config_for
+    from realise_tpu.ops.bert import _ffn, init_bert_layer
+    from realise_tpu.ops.pallas.bert_block import ffn_block
 
-
-@pytest.mark.parametrize("softmax_gate", [False, True])
-def test_fused_gate_fusion_matches_jnp(softmax_gate):
-    key = jax.random.PRNGKey(3)
-    b, s, h = 3, 8, 16
-    params = init_gate_fusion(key, h, 3)
-    streams = [jax.random.normal(jax.random.fold_in(key, i), (b, s, h))
-               for i in range(3)]
-    mask = jnp.ones((b, s), jnp.int32).at[1, 5:].set(0)
-    want = gate_fusion(params, streams, mask, softmax_gate=softmax_gate)
-    got = fused_gate_fusion(params, streams, mask, softmax_gate=softmax_gate,
-                            interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=64, hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_seq_length=8,
+                     hidden_dropout_prob=0.0)
+    layer = init_bert_layer(jax.random.PRNGKey(4), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(5), (3, 8, 16))
+    want = _ffn(layer["ffn"], x, cfg, deterministic=True, rng=None)
+    got = ffn_block(x, layer["ffn"], eps=cfg.layer_norm_eps,
+                    n_splits=n_splits, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
 
 def test_model_forward_with_pallas_matches(tokenizer):
