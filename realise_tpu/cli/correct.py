@@ -19,6 +19,7 @@ import sys
 import numpy as np
 
 from realise_tpu.cli.common import (
+    auto_use_pallas,
     build_tokenizer,
     force_platform,
     setup_logging,
@@ -48,7 +49,9 @@ def build_parser():
     p.add_argument("--native_featurizer", action="store_true",
                    help="tokenize + assemble batches with the C++ featurizer "
                         "(csrc/featurizer.cpp); requires --vocab_path")
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--use_pallas", action="store_true", default=None,
+                   help="fused block kernels (default: auto — on for TPU)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", default=None)
     return p
@@ -60,6 +63,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     setup_logging(verbose=False)
     force_platform(args.platform)
+    args.use_pallas = auto_use_pallas(args.use_pallas)
 
     ckpts = list_checkpoints(args.ckpt_dir)
     ckpt_path = ckpts[-1][1] if ckpts else args.ckpt_dir

@@ -16,6 +16,7 @@ import argparse
 import os
 
 from realise_tpu.cli.common import (
+    auto_use_pallas,
     build_tokenizer,
     evaluate_model,
     force_platform,
@@ -51,7 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", default=None)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--platform", default=None)
-    p.add_argument("--use_pallas", action="store_true")
+    p.add_argument("--use_pallas", action="store_true", default=None,
+                   help="fused block kernels (default: auto — on for TPU)")
+    p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--mesh", default=None)
     return p
 
@@ -91,7 +94,7 @@ def main(argv=None):
 
     restored = load_checkpoint(ckpt_path)
     trainer = Trainer(cfg, restored["params"], restored["state"],
-                      use_pallas=args.use_pallas)
+                      use_pallas=auto_use_pallas(args.use_pallas))
 
     test_file = args.test_file or f"test.sighan{args.testset_year}.pkl"
     label_file = args.label_file or f"test.sighan{args.testset_year}.lbl.tsv"

@@ -11,6 +11,7 @@ metric_core raised. The reference's evaluate() never duplicates
 import os
 
 import jax
+import numpy as np
 import pytest
 
 
@@ -65,3 +66,22 @@ def test_eval_exact_multiple_unchanged(eval_env, tokenizer, tmp_path):
     res = evaluate_model(trainer, data, featurizer, tokenizer,
                          str(tmp_path / "eval64"), batch_size=32)
     assert "avg_loss" in res
+
+
+def test_eval_fast_path_tables_match_slow_path(eval_env, tokenizer):
+    """prepare_eval_tables routes eval through the per-vocab GRU/glyph
+    tables; predictions must equal the live-GRU/conv slow path (the same
+    equivalence the serving CLI relies on)."""
+    from realise_tpu.data.dataset import synthetic_dataset
+
+    trainer, featurizer = eval_env
+    data = synthetic_dataset(tokenizer, num_examples=8, seed=9)
+    batch = featurizer.device_batch(featurizer.featurize(data))
+
+    trainer.clear_eval_tables()
+    slow = trainer.eval_step(batch)
+    assert trainer.prepare_eval_tables(featurizer)
+    fast = trainer.eval_step(batch)
+    np.testing.assert_array_equal(slow["pred_idx"], fast["pred_idx"])
+    np.testing.assert_allclose(slow["loss"], fast["loss"], rtol=1e-5)
+    trainer.clear_eval_tables()
