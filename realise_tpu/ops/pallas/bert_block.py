@@ -66,18 +66,32 @@ def _default_interpret():
 
 def attention_block(x: jax.Array, attn_params, bias: jax.Array,
                     num_heads: int, eps: float = 1e-12,
+                    block_b: int | None = None,
                     interpret: bool | None = None) -> jax.Array:
     """Fused q/k/v proj → attention → out proj → residual LN.
 
     x: (B, S, H); attn_params: the layer's ``attention`` dict
     (query/key/value/output dense params + layer_norm); bias: (B, 1, 1, S)
     additive mask. Equals ops/bert.py:_self_attention with dropout inactive.
+
+    ``block_b`` examples are folded into each grid step: the q/k/v/out
+    projections run as (block_b·S, H) matmuls (better MXU shapes, fewer
+    grid steps — bit-identical output; auto: the largest of {4, 2, 1}
+    dividing B that keeps the working set inside VMEM).
     """
     b, s, hdim = x.shape
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
     if interpret is None:
         interpret = _default_interpret()
+    if block_b is None:
+        for cand in (4, 2, 1):
+            # qkv+ctx+scores working set ≈ cand·(5 bufs · S·H·2B + S²·4B)
+            if b % cand == 0 and cand * (5 * s * hdim * 2 + s * s * 4) < 6e6:
+                block_b = cand
+                break
+        else:
+            block_b = 1
     dtype = x.dtype
     wcast = lambda p: p["kernel"].astype(dtype)
     bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
@@ -85,47 +99,51 @@ def attention_block(x: jax.Array, attn_params, bias: jax.Array,
 
     def kernel(x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
                wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref):
-        x2 = x_ref[0]
+        xf = x_ref[:].reshape(block_b * s, hdim)
         # Match the jnp dense rule: the MXU accumulates f32 and rounds the
         # output to the activation dtype, bias adds in that dtype
         # (ops/layers.py:37-45). Mosaic requires the f32 accumulator to be
         # explicit (bf16 preferred_element_type is rejected in-kernel).
         proj = lambda w_ref, b_ref: (
-            jnp.dot(x2, w_ref[:],
-                    preferred_element_type=jnp.float32).astype(x2.dtype)
-            + b_ref[:].astype(x2.dtype))
+            jnp.dot(xf, w_ref[:],
+                    preferred_element_type=jnp.float32).astype(dtype)
+            + b_ref[:].astype(dtype))
         q = proj(wq_ref, bq_ref)
         k = proj(wk_ref, bk_ref)
         v = proj(wv_ref, bv_ref)
-        brow = bias_ref[0][0:1, :]
-        outs = []
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            scores = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            scores = scores * scale + brow
-            probs = jax.nn.softmax(scores, axis=-1)
-            outs.append(jnp.dot(
-                probs.astype(x2.dtype), v[:, sl],
-                preferred_element_type=jnp.float32).astype(x2.dtype))
-        ctx = jnp.concatenate(outs, axis=-1)
+        ctxs = []
+        for bi in range(block_b):
+            rows = slice(bi * s, (bi + 1) * s)
+            brow = bias_ref[bi][0:1, :]
+            outs = []
+            for h in range(num_heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                scores = jax.lax.dot_general(
+                    q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                probs = jax.nn.softmax(scores * scale + brow, axis=-1)
+                outs.append(jnp.dot(
+                    probs.astype(dtype), v[rows, sl],
+                    preferred_element_type=jnp.float32).astype(dtype))
+            ctxs.append(jnp.concatenate(outs, axis=-1))
+        ctx = jnp.concatenate(ctxs, axis=0)
         attn = (jnp.dot(ctx, wo_ref[:],
-                        preferred_element_type=jnp.float32).astype(x2.dtype)
-                + bo_ref[:].astype(x2.dtype))
-        h32 = x2.astype(jnp.float32) + attn.astype(jnp.float32)
-        o_ref[0] = _ln(h32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
+                        preferred_element_type=jnp.float32).astype(dtype)
+                + bo_ref[:].astype(dtype))
+        h32 = xf.astype(jnp.float32) + attn.astype(jnp.float32)
+        y = _ln(h32, g_ref[:], be_ref[:], eps)
+        o_ref[:] = y.reshape(block_b, s, hdim).astype(o_ref.dtype)
 
-    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+    xspec = pl.BlockSpec((block_b, s, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 8, s), lambda i: (i, 0, 0),
+    bspec = pl.BlockSpec((block_b, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     ln = attn_params["layer_norm"]
     return pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(b // block_b,),
         in_specs=[xspec, wspec, rspec, wspec, rspec, wspec, rspec,
                   wspec, rspec, rspec, rspec, bspec],
         out_specs=xspec,
