@@ -3,7 +3,9 @@
 Reads Chinese sentences (stdin or --input file, one per line), runs the
 model with the precomputed-table serving fast path, prints corrected
 sentences. This is the user-facing correction tool the reference implies but
-never ships (its closest surface is the batch scorer src/test.py).
+never ships (its closest surface is the batch scorer src/test.py). For a
+long-running daemon use realise_tpu.cli.serve; both wrap
+:class:`realise_tpu.serving.Corrector`.
 
 Example:
     echo "我爱北经。" | python -m realise_tpu.cli.correct --ckpt_dir ckpts
@@ -16,23 +18,7 @@ from __future__ import annotations
 import argparse
 import sys
 
-import numpy as np
-
-from realise_tpu.cli.common import (
-    auto_use_pallas,
-    build_tokenizer,
-    force_platform,
-    setup_logging,
-    logger,
-)
-from realise_tpu.data.features import Featurizer
-from realise_tpu.eval.metric import Metric
-from realise_tpu.models.realise import apply_realise, precompute_inference_tables
-from realise_tpu.training.checkpoint import (
-    list_checkpoints,
-    load_checkpoint,
-    load_config,
-)
+from realise_tpu.cli.common import force_platform, setup_logging, logger
 
 
 def build_parser():
@@ -58,77 +44,42 @@ def build_parser():
 
 
 def main(argv=None):
-    import jax
-
     args = build_parser().parse_args(argv)
     setup_logging(verbose=False)
     force_platform(args.platform)
-    args.use_pallas = auto_use_pallas(args.use_pallas)
 
-    ckpts = list_checkpoints(args.ckpt_dir)
-    ckpt_path = ckpts[-1][1] if ckpts else args.ckpt_dir
-    cfg = load_config(ckpt_path)
-    restored = load_checkpoint(ckpt_path)
-    params = jax.tree.map(jax.numpy.asarray, restored["params"])
-    state = jax.tree.map(jax.numpy.asarray, restored["state"])
+    from realise_tpu.serving import Corrector
 
-    args.font_paths = None
-    tokenizer = build_tokenizer(args)
-    featurizer = Featurizer(tokenizer, cfg)
+    vocab_path = args.vocab_path
+    if vocab_path is None and args.data_dir:
+        import os
 
-    native = None
-    if args.native_featurizer:
-        import os as _os
+        cand = os.path.join(args.data_dir, "vocab.txt")
+        vocab_path = cand if os.path.exists(cand) else None
 
-        from realise_tpu.data.native import NativeFeaturizer
-
-        vocab_path = args.vocab_path
-        if vocab_path is None and args.data_dir:
-            vocab_path = _os.path.join(args.data_dir, "vocab.txt")
-        if vocab_path is None:
-            import tempfile
-
-            vocab_path = tokenizer.save_pretrained(tempfile.mkdtemp())
-        native = NativeFeaturizer(vocab_path)
+    corrector = Corrector(
+        args.ckpt_dir, vocab_path=vocab_path,
+        batch_size=args.batch_size, use_pallas=args.use_pallas,
+        fast_path=not args.no_fast_path,
+        native_featurizer=args.native_featurizer,
+        synthetic_vocab=args.synthetic)
+    if corrector.native is not None:
         logger.info("using native C++ featurizer (%d-token vocab)",
-                    native.vocab_size)
-
-    tables = None
-    if not args.no_fast_path:
-        idx, lens = featurizer.pho2_tables()
-        tables = precompute_inference_tables(
-            params, state, cfg,
-            vocab_pho_idx=jax.numpy.asarray(idx),
-            vocab_pho_lens=jax.numpy.asarray(lens))
-
-    @jax.jit
-    def step(params, state, batch):
-        out = apply_realise(params, state, batch, cfg,
-                            use_pallas=args.use_pallas,
-                            inference_tables=tables)
-        return out["logits"].argmax(-1)
+                    corrector.native.vocab_size)
 
     source = open(args.input, encoding="utf-8") if args.input else sys.stdin
     sentences = [ln.strip() for ln in source if ln.strip()]
     if args.input:
         source.close()
 
-    metric = Metric(tokenizer)
-    for start in range(0, len(sentences), args.batch_size):
-        chunk = sentences[start : start + args.batch_size]
-        host = featurizer.featurize_raw(chunk, native=native)
-        preds = np.asarray(step(params, state, featurizer.device_batch(host)))
-        host["pred_idx"] = preds
-        for i, sent in enumerate(chunk):
-            pred_txt, _ = metric.process_batch_item(host, i)
-            corrected = pred_txt.split("\t", 1)[1]
-            if args.show_edits:
-                edits = [f"{p}:{a}→{b}"
-                         for p, (a, b) in enumerate(zip(sent, corrected), 1)
-                         if a != b]
-                print(f"{corrected}\t{' '.join(edits) if edits else '-'}")
-            else:
-                print(corrected)
+    if args.show_edits:
+        for r in corrector.correct_with_edits(sentences):
+            edits = [f"{e['pos']}:{e['wrong']}→{e['correct']}"
+                     for e in r["edits"]]
+            print(f"{r['corrected']}\t{' '.join(edits) if edits else '-'}")
+    else:
+        for corrected in corrector.correct(sentences):
+            print(corrected)
     return 0
 
 

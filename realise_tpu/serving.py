@@ -1,0 +1,138 @@
+"""Serving core: load a checkpoint once, correct sentences fast.
+
+:class:`Corrector` owns everything the serving surfaces share — checkpoint
++ config load, tokenizer/featurizer, the precomputed per-vocab GRU/glyph
+tables (the fast path that removes the conv stack and GRU scan from the hot
+loop), the jitted forward, and prediction→text decoding. The batch CLI
+(realise_tpu.cli.correct) and the HTTP daemon (realise_tpu.cli.serve) are
+thin wrappers over it.
+
+The reference ships no serving surface at all (its closest is the batch
+scorer src/test.py); this is additive.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class Corrector:
+    """Spelling-correction engine over a trained checkpoint."""
+
+    def __init__(
+        self,
+        ckpt_dir: str,
+        vocab_path: Optional[str] = None,
+        batch_size: int = 32,
+        use_pallas: Optional[bool] = None,
+        fast_path: bool = True,
+        native_featurizer: bool = False,
+        synthetic_vocab: bool = False,
+    ):
+        import jax
+
+        from realise_tpu.cli.common import auto_use_pallas
+        from realise_tpu.data.features import Featurizer
+        from realise_tpu.eval.metric import Metric
+        from realise_tpu.models.realise import (
+            apply_realise,
+            precompute_inference_tables,
+        )
+        from realise_tpu.text.tokenizer import WordPieceTokenizer
+        from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
+        from realise_tpu.training.checkpoint import (
+            list_checkpoints,
+            load_checkpoint,
+            load_config,
+        )
+
+        ckpts = list_checkpoints(ckpt_dir)
+        ckpt_path = ckpts[-1][1] if ckpts else ckpt_dir
+        self.cfg = load_config(ckpt_path)
+        restored = load_checkpoint(ckpt_path)
+        self.params = jax.tree.map(jax.numpy.asarray, restored["params"])
+        self.state = jax.tree.map(jax.numpy.asarray, restored["state"])
+        self.batch_size = batch_size
+        use_pallas = auto_use_pallas(use_pallas)
+
+        if vocab_path:
+            self.tokenizer = WordPieceTokenizer.from_pretrained(vocab_path)
+        elif synthetic_vocab:
+            self.tokenizer = WordPieceTokenizer(
+                vocab_to_dict(build_synthetic_vocab()))
+        else:
+            raise ValueError("need vocab_path (or synthetic_vocab=True)")
+        if len(self.tokenizer) != self.cfg.vocab_size:
+            raise ValueError(
+                f"tokenizer vocab ({len(self.tokenizer)}) != model vocab "
+                f"({self.cfg.vocab_size})")
+        self.featurizer = Featurizer(self.tokenizer, self.cfg)
+        self.metric = Metric(self.tokenizer)
+
+        self.native = None
+        if native_featurizer:
+            from realise_tpu.data.native import NativeFeaturizer
+
+            if not vocab_path:
+                import tempfile
+
+                vocab_path = self.tokenizer.save_pretrained(tempfile.mkdtemp())
+            self.native = NativeFeaturizer(vocab_path)
+
+        tables = None
+        if fast_path:
+            idx, lens = self.featurizer.pho2_tables()
+            tables = precompute_inference_tables(
+                self.params, self.state, self.cfg,
+                vocab_pho_idx=jax.numpy.asarray(idx),
+                vocab_pho_lens=jax.numpy.asarray(lens))
+
+        @jax.jit
+        def _step(params, state, batch):
+            out = apply_realise(params, state, batch, self.cfg,
+                                use_pallas=use_pallas,
+                                inference_tables=tables)
+            return out["logits"].argmax(-1)
+
+        self._step = _step
+
+    def warmup(self) -> None:
+        """Trigger the jit compile so the first request is fast."""
+        self.correct(["好"])
+
+    def correct_batch(self, sentences: Sequence[str]) -> List[str]:
+        """One device batch (≤ batch_size sentences) → corrected strings."""
+        host = self.featurizer.featurize_raw(list(sentences),
+                                             native=self.native)
+        preds = np.asarray(self._step(self.params, self.state,
+                                      self.featurizer.device_batch(host)))
+        host["pred_idx"] = preds
+        out = []
+        for i in range(len(sentences)):
+            pred_txt, _ = self.metric.process_batch_item(host, i)
+            out.append(pred_txt.split("\t", 1)[1])
+        return out
+
+    def correct(self, sentences: Sequence[str]) -> List[str]:
+        """Any number of sentences, chunked into device batches."""
+        out: List[str] = []
+        for start in range(0, len(sentences), self.batch_size):
+            out.extend(self.correct_batch(
+                sentences[start : start + self.batch_size]))
+        return out
+
+    @staticmethod
+    def edits(src: str, corrected: str) -> List[Tuple[int, str, str]]:
+        """1-based (pos, wrong, correct) diffs."""
+        return [(i, a, b)
+                for i, (a, b) in enumerate(zip(src, corrected), start=1)
+                if a != b]
+
+    def correct_with_edits(self, sentences: Sequence[str]) -> List[Dict]:
+        corrected = self.correct(sentences)
+        return [{"input": s, "corrected": c,
+                 "edits": [{"pos": p, "wrong": w, "correct": r}
+                           for p, w, r in self.edits(s, c)]}
+                for s, c in zip(sentences, corrected)]

@@ -1,0 +1,88 @@
+"""Serving surface tests: Corrector core + the HTTP daemon."""
+
+import http.client
+import json
+import threading
+
+import jax
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tokenizer, tmp_path_factory):
+    from realise_tpu.config import config_for
+    from realise_tpu.models.realise import init_realise
+    from realise_tpu.training.checkpoint import save_checkpoint
+
+    cfg = config_for(
+        "bert-pho2-res-arch3", vocab_size=len(tokenizer), hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+        pho_num_layers=1, out_num_layers=1, max_seq_length=16,
+        max_position_embeddings=32, num_fonts=1)
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    out = str(tmp_path_factory.mktemp("serve_ckpt"))
+    save_checkpoint(out, 0, params, state, opt_state=None, cfg=cfg)
+    return out
+
+
+@pytest.fixture(scope="module")
+def corrector(ckpt_dir):
+    from realise_tpu.serving import Corrector
+
+    c = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4)
+    c.warmup()
+    return c
+
+
+def test_corrector_shapes_and_chunking(corrector):
+    sents = ["我爱北京。", "天气很好", "你好吗", "好", "再见了", "谢谢你"]
+    out = corrector.correct(sents)  # 6 sentences at batch_size 4 → 2 chunks
+    assert len(out) == len(sents)
+    assert all(isinstance(s, str) and s for s in out)
+    # Correction is length-preserving for plain CJK input.
+    assert [len(s) for s in out] == [len(s) for s in sents]
+
+
+def test_corrector_edits():
+    from realise_tpu.serving import Corrector
+
+    assert Corrector.edits("我爱北经。", "我爱北京。") == [(4, "经", "京")]
+    assert Corrector.edits("天气", "天气") == []
+
+
+def test_http_server_roundtrip(corrector):
+    import portpicker
+
+    from realise_tpu.cli.serve import serve
+
+    port = portpicker.pick_unused_port()
+    server = serve(corrector, "127.0.0.1", port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        conn.request("GET", "/healthz")
+        health = json.loads(conn.getresponse().read())
+        assert health["status"] == "ok"
+        assert health["model_type"] == "bert-pho2-res-arch3"
+
+        body = json.dumps({"sentences": ["我爱北京。", "你好"]})
+        conn.request("POST", "/correct", body=body)
+        resp = json.loads(conn.getresponse().read())
+        assert len(resp["results"]) == 2
+        r = resp["results"][0]
+        assert r["input"] == "我爱北京。"
+        assert len(r["corrected"]) == 5
+        assert {"pos", "wrong", "correct"} >= set(
+            k for e in r["edits"] for k in e)
+
+        # malformed body → 400, server stays up
+        conn.request("POST", "/correct", body="{}")
+        resp = conn.getresponse()
+        assert resp.status == 400
+        resp.read()
+        conn.request("GET", "/healthz")
+        assert conn.getresponse().status == 200
+    finally:
+        server.shutdown()
+        server.server_close()
