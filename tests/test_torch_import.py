@@ -171,3 +171,65 @@ def test_torch_gru_import_parity():
     got = np.asarray(gru_last_hidden(
         jax.tree.map(jnp.asarray, params), jnp.asarray(x), jnp.asarray(lens)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_char_resnet1_import_parity():
+    """CharResNet1 (--image_model_type 1) end-to-end incl. the final
+    flatten: torch's h.view flattens NCHW channel-major (src/char_cnn.py:73)
+    and the import must not permute the output features (round-2 fix —
+    previously the NHWC flatten fed downstream weights a permuted vector)."""
+    import torch.nn as nn
+
+    class Block(nn.Module):
+        def __init__(self, cin, cout, stride=2):
+            super().__init__()
+            self.residual_function = nn.Sequential(
+                nn.Conv2d(cin, cout, 3, stride=stride, padding=1, bias=False),
+                nn.BatchNorm2d(cout),
+                nn.ReLU(inplace=True),
+                nn.Conv2d(cout, cout, 3, padding=1, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+            self.shortcut = nn.Sequential(
+                nn.Conv2d(cin, cout, 1, stride=stride, bias=False),
+                nn.BatchNorm2d(cout),
+            )
+
+        def forward(self, x):
+            return nn.functional.relu(self.residual_function(x) + self.shortcut(x))
+
+    # hidden=48 → channel plan [4, 8, 12, 12]; 32→2 spatial; 2·2·12 = 48.
+    chans = [4, 8, 12, 12]
+
+    class Net1(nn.Module):
+        def __init__(self):
+            super().__init__()
+            prev = 1
+            for i, c in enumerate(chans, start=1):
+                setattr(self, f"res_block{i}", Block(prev, c))
+                prev = c
+
+        def forward(self, x):
+            for i in range(1, 5):
+                x = getattr(self, f"res_block{i}")(x)
+            return x.reshape(x.shape[0], -1)  # torch NCHW flatten
+
+    torch.manual_seed(1)
+    net = Net1()
+    with torch.no_grad():
+        net(torch.randn(4, 1, 32, 32))
+    net.eval()
+    sd = {k: v.detach().numpy() for k, v in net.state_dict().items()}
+    params, state = import_char_resnet(sd, "", num_blocks=4)
+
+    from realise_tpu.ops.resnet import char_resnet
+
+    x = np.random.RandomState(1).randn(3, 1, 32, 32).astype(np.float32)
+    with torch.no_grad():
+        want = net(torch.tensor(x)).numpy()          # (3, 48)
+
+    h = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))   # NCHW → NHWC
+    got, _ = char_resnet(jax.tree.map(jnp.asarray, params),
+                         jax.tree.map(jnp.asarray, state), h,
+                         train=False, variant="resnet1", hidden_size=48)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
