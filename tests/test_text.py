@@ -250,3 +250,28 @@ def test_build_glyph_table_with_ttf_and_traditional():
     # so the traditional channel falls back to .notdef (empty) — it must
     # still be a valid normalized raster, not a crash.
     assert np.isfinite(table).all()
+
+
+def test_pinyin_table_preserves_curated_core():
+    """The shipped full table keeps every curated pypinyin-parity reading
+    unchanged (the merge in tools/build_pinyin_table.py gives the core
+    table highest priority)."""
+    import os as _os
+
+    assets = _os.path.join(_os.path.dirname(__file__), "..", "realise_tpu",
+                           "text", "assets")
+
+    def load(name):
+        out = {}
+        with open(_os.path.join(assets, name), encoding="utf-8") as f:
+            for line in f:
+                ch, py = line.rstrip("\n").split("\t")
+                out[ch] = py
+        return out
+
+    core = load("pinyin_core.tsv")
+    full = load("pinyin_table.tsv")
+    assert len(core) >= 1700
+    mismatches = {c: (core[c], full.get(c)) for c in core
+                  if full.get(c) != core[c]}
+    assert not mismatches, list(mismatches.items())[:10]

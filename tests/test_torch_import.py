@@ -233,3 +233,33 @@ def test_char_resnet1_import_parity():
                          jax.tree.map(jnp.asarray, state), h,
                          train=False, variant="resnet1", hidden_size=48)
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_tokenizer_fuzz_parity_vs_hf(tokenizer, tmp_path):
+    """Fuzz our WordPieceTokenizer against HF's BertTokenizer over the same
+    vocab: metric parity depends on byte-identical tokenization (##-pieces,
+    [UNK] mapping, per-CJK-char splitting — reference vendored
+    tokenization_bert.py)."""
+    import random
+
+    from transformers import BertTokenizer
+
+    vocab_path = tokenizer.save_pretrained(str(tmp_path))
+    hf = BertTokenizer(vocab_path, do_lower_case=True)
+
+    cjk = [t for t in tokenizer.vocab if len(t) == 1 and 0x4E00 <= ord(t) <= 0x9FFF]
+    ascii_words = ["hello", "world", "ok", "GPU", "a1b2"]
+    punct = list("，。？！,.?! 　")
+    rng = random.Random(42)
+    for _ in range(200):
+        parts = []
+        for _ in range(rng.randint(1, 12)):
+            r = rng.random()
+            if r < 0.6:
+                parts.append(rng.choice(cjk))
+            elif r < 0.8:
+                parts.append(rng.choice(ascii_words))
+            else:
+                parts.append(rng.choice(punct))
+        text = "".join(parts)
+        assert tokenizer.tokenize(text) == hf.tokenize(text), repr(text)
