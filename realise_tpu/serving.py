@@ -30,6 +30,7 @@ class Corrector:
         fast_path: bool = True,
         native_featurizer: bool = False,
         synthetic_vocab: bool = False,
+        length_buckets: Sequence[int] = (32, 64, 128),
     ):
         import jax
 
@@ -97,20 +98,46 @@ class Corrector:
             return out["logits"].argmax(-1)
 
         self._step = _step
+        # Static padded lengths: each request pays for the smallest bucket
+        # that fits its longest sentence instead of always max_seq_length
+        # (one jit specialization per bucket; tile-friendly multiples of 8).
+        s_max = self.cfg.max_seq_length
+        self._buckets = sorted({min(int(b), s_max)
+                                for b in length_buckets} | {s_max})
 
-    def warmup(self) -> None:
+    def _bucket_for(self, sentences: Sequence[str]) -> int:
+        # +2 for [CLS]/[SEP]; WordPiece can only shrink char counts for CJK.
+        need = max((len(s) for s in sentences), default=0) + 2
+        for b in self._buckets:
+            if need <= b:
+                return b
+        return self._buckets[-1]
+
+    def warmup(self, all_buckets: bool = False) -> None:
         """Trigger the jit compile so the first request is fast."""
-        self.correct(["好"])
+        if all_buckets:
+            for b in self._buckets:
+                self.correct_batch(["好" * min(b - 2, 4)], seq_len=b)
+        else:
+            self.correct(["好"])
 
-    def correct_batch(self, sentences: Sequence[str]) -> List[str]:
-        """One device batch (≤ batch_size sentences) → corrected strings."""
-        host = self.featurizer.featurize_raw(list(sentences),
-                                             native=self.native)
+    def correct_batch(self, sentences: Sequence[str],
+                      seq_len: Optional[int] = None) -> List[str]:
+        """One device batch (≤ batch_size sentences) → corrected strings.
+
+        The device sees exactly one shape per length bucket: short batches
+        are padded to ``batch_size`` rows (repeating the last sentence) so
+        the jit never re-specializes on the request size."""
+        n = len(sentences)
+        padded = list(sentences) + [sentences[-1]] * (self.batch_size - n)
+        host = self.featurizer.featurize_raw(
+            padded, native=self.native,
+            seq_len=seq_len or self._bucket_for(sentences))
         preds = np.asarray(self._step(self.params, self.state,
                                       self.featurizer.device_batch(host)))
         host["pred_idx"] = preds
         out = []
-        for i in range(len(sentences)):
+        for i in range(n):
             pred_txt, _ = self.metric.process_batch_item(host, i)
             out.append(pred_txt.split("\t", 1)[1])
         return out

@@ -86,3 +86,17 @@ def test_http_server_roundtrip(corrector):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_length_buckets_pick_smallest_fit(corrector):
+    assert corrector._bucket_for(["好好"]) == 16  # tiny cfg: max_seq_length 16
+    out = corrector.correct(["好", "天气很好我们出去玩吧现在就走"])
+    assert len(out) == 2
+
+
+def test_corrector_batch_padding_stable_shapes(corrector):
+    """Requests smaller than batch_size produce the same answers as padded
+    full batches (one jit shape per bucket)."""
+    single = corrector.correct(["我爱北京。"])
+    batch = corrector.correct(["我爱北京。", "你好吗", "天气很好"])
+    assert batch[0] == single[0]
