@@ -106,8 +106,8 @@ def main(argv=None):
         fast_path=not args.no_fast_path,
         native_featurizer=args.native_featurizer,
         synthetic_vocab=args.synthetic)
-    logger.info("warming up (jit compile)...")
-    corrector.warmup()
+    logger.info("warming up (jit compile, all length buckets)...")
+    corrector.warmup(all_buckets=True)
 
     server = serve(corrector, args.host, args.port)
     logger.info("serving %s on http://%s:%d (POST /correct, GET /healthz)",

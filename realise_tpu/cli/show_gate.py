@@ -22,7 +22,7 @@ from realise_tpu.cli.common import (
     setup_logging,
     logger,
 )
-from realise_tpu.data.dataset import batch_iterator
+from realise_tpu.data.dataset import batch_iterator, pad_examples
 from realise_tpu.data.features import Featurizer
 from realise_tpu.models.realise import apply_realise
 from realise_tpu.training.checkpoint import (
@@ -73,8 +73,11 @@ def main(argv=None):
         return out["gates"]
 
     rows = []
-    for examples in batch_iterator(data, args.batch_size):
-        host = featurizer.featurize(examples)
+    # Iterate UNPADDED (true counts); pad only for the static-shape device
+    # step — else the final short batch duplicates gate rows (the same bug
+    # class as the round-1 eval crash, cli/common.py evaluate_model).
+    for examples in batch_iterator(data, args.batch_size, pad_final=False):
+        host = featurizer.featurize(pad_examples(examples, args.batch_size))
         gates = np.asarray(gate_step(params, state,
                                      featurizer.device_batch(host)))
         for i, ex in enumerate(examples):

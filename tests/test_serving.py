@@ -100,3 +100,44 @@ def test_corrector_batch_padding_stable_shapes(corrector):
     single = corrector.correct(["我爱北京。"])
     batch = corrector.correct(["我爱北京。", "你好吗", "天气很好"])
     assert batch[0] == single[0]
+
+
+def test_show_gate_cli(ckpt_dir, tmp_path):
+    """Gate-introspection CLI dumps per-token gate TSV (the reference's
+    show_gate.py is import-broken, SURVEY.md §2.3; ours must actually run)."""
+    from realise_tpu.cli import show_gate
+
+    out = str(tmp_path / "gate.tsv")
+    rc = show_gate.main(["--ckpt_dir", ckpt_dir, "--synthetic",
+                         "--platform", "cpu", "--output", out,
+                         "--batch_size", "10"])  # 32 % 10 != 0: ragged final batch
+    assert rc == 0
+    lines = open(out, encoding="utf-8").read().splitlines()
+    assert lines[0].split("\t") == ["id", "pos", "char",
+                                    "g_sem", "g_pho", "g_res"]
+    assert len(lines) > 1
+    # gate values are sigmoids in [0, 1]
+    for ln in lines[1:6]:
+        parts = ln.split("\t")
+        for g in parts[3:]:
+            assert 0.0 <= float(g) <= 1.0, ln
+
+
+def test_show_gate_row_count_exact(ckpt_dir, tmp_path):
+    """Ragged final batches must not duplicate gate rows: row count equals
+    the sum of true sentence lengths (32 synthetic examples at bs=10)."""
+    from realise_tpu.cli import show_gate
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.text.tokenizer import WordPieceTokenizer
+    from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
+
+    tok = WordPieceTokenizer(vocab_to_dict(build_synthetic_vocab()))
+    expected = sum(ex["lengths"]
+                   for ex in synthetic_dataset(tok, num_examples=32, seed=5))
+    out = str(tmp_path / "gate2.tsv")
+    rc = show_gate.main(["--ckpt_dir", ckpt_dir, "--synthetic",
+                         "--platform", "cpu", "--output", out,
+                         "--batch_size", "10"])
+    assert rc == 0
+    rows = open(out, encoding="utf-8").read().splitlines()[1:]
+    assert len(rows) == expected
