@@ -54,11 +54,19 @@ def token_accuracy(trainer, data, featurizer, batch_size=64):
     """Chinese-char token accuracy (run_pretrain.py:242-251)."""
     correct = total = 0
     losses = []
-    for examples in batch_iterator(data, batch_size):
-        host = featurizer.featurize_pho_pretrain(examples)
+    # Unpadded iteration + per-device padding: padded duplicate rows must
+    # not inflate the token counts (same bug class as the round-1 eval).
+    from realise_tpu.data.dataset import pad_examples
+
+    for examples in batch_iterator(data, batch_size, pad_final=False):
+        n = len(examples)
+        host = featurizer.featurize_pho_pretrain(
+            pad_examples(examples, batch_size))
         out = trainer.eval_step(featurizer.device_batch(host))
-        preds = np.asarray(out["pred_idx"])
-        mask = host["loss_masks"].astype(bool)
+        preds = np.asarray(out["pred_idx"])[:n]
+        mask = host["loss_masks"][:n].astype(bool)
+        host = {k: (v[:n] if hasattr(v, "__getitem__") else v)
+                for k, v in host.items()}
         correct += int((preds[mask] == host["tgt_idx"][mask]).sum())
         total += int(mask.sum())
         if "loss" in out:

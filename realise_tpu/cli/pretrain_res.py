@@ -100,11 +100,16 @@ def main(argv=None):
     correct = 0
     for i in range(0, len(char_ids), batch_size):
         chunk = char_ids[i : i + batch_size]
-        if mesh is not None and len(chunk) % (mesh.shape.get("data", 1)) != 0:
-            break
+        n = len(chunk)
+        if n < batch_size:
+            # Pad to the static batch shape; score only the true rows
+            # (previously the mesh path dropped the tail from the numerator
+            # while keeping it in the denominator).
+            chunk = np.concatenate(
+                [chunk, np.repeat(chunk[-1:], batch_size - n)])
         out = trainer.eval_step({"char_idx": chunk})
         preds = np.asarray(out["pred_idx"])
-        correct += int((preds.reshape(-1)[: len(chunk)] == chunk).sum())
+        correct += int((preds.reshape(-1)[:n] == chunk[:n]).sum())
     acc = correct / max(len(char_ids), 1)
     logger.info("res-pretrain accuracy: %.4f", acc)
     write_json(f"{args.output_dir}/dev_results.json", {"accuracy": acc})

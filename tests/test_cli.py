@@ -129,3 +129,30 @@ def test_train_resume(tmp_path):
         "--per_device_train_batch_size", "4"]) == 0
     # Continued from step 2 → saved step 4 exists.
     assert os.path.exists(os.path.join(out, "saved_ckpt-4"))
+
+
+def test_pho_pretrain_token_accuracy_ragged(tokenizer):
+    """token_accuracy must not count padded duplicate rows: the same value
+    regardless of batch size (10 examples at bs=8 has a ragged final batch)."""
+    import jax
+
+    from realise_tpu.cli.pretrain_pho import token_accuracy
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import init_pretrain
+    from realise_tpu.training.trainer import Trainer
+
+    cfg = config_for("pho2-pretrain", vocab_size=len(tokenizer),
+                     hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     pho_num_layers=1, max_seq_length=12,
+                     max_position_embeddings=16)
+    params, state = init_pretrain(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, params, state, pretrain=True)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=10, seed=2)
+
+    a = token_accuracy(tr, data, feat, batch_size=8)   # ragged: 8 + 2
+    b = token_accuracy(tr, data, feat, batch_size=16)  # single ragged batch
+    assert a["accuracy"] == b["accuracy"]
