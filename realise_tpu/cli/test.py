@@ -17,6 +17,7 @@ import os
 
 from realise_tpu.cli.common import (
     auto_use_pallas,
+    build_mesh,
     build_tokenizer,
     evaluate_model,
     force_platform,
@@ -94,6 +95,7 @@ def main(argv=None):
 
     restored = load_checkpoint(ckpt_path)
     trainer = Trainer(cfg, restored["params"], restored["state"],
+                      mesh=build_mesh(args),
                       use_pallas=auto_use_pallas(args.use_pallas))
 
     test_file = args.test_file or f"test.sighan{args.testset_year}.pkl"
