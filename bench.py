@@ -102,9 +102,12 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
     FFN 4SHI; 19 layers total (12 sem + 4 pho + 3 out). Tied classifier
     2SHV. The full forward adds the pinyin GRU (P steps × 3 gates × input +
     recurrent projections per token: 12PH² with D=H) and the CharResNet
-    stack (per-glyph conv FLOPs from the channel plan). Training ≈ fwd +
-    2×bwd + one remat re-forward = 4× forward. LayerNorm/softmax/gather
-    costs are excluded (sub-1%), so MFU is slightly understated.
+    stack (per-glyph conv FLOPs from the channel plan). Training = fwd +
+    2×bwd = 3× forward — the strict MFU convention: recompute (the jnp
+    path's remat re-forward, the Pallas VJP's in-VMEM recompute) is
+    overhead, not useful work, so both training paths are scored against
+    the same denominator. LayerNorm/softmax/gather costs are excluded
+    (sub-1%), so MFU is slightly understated.
     """
     s, h, i = cfg.max_seq_length, cfg.hidden_size, cfg.intermediate_size
     v = cfg.vocab_size
@@ -126,7 +129,7 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
             conv += 2 * 1 * prev * ch * sp * sp      # 1×1 shortcut
             prev = ch
         fwd += s * conv
-    return fwd * (4.0 if train else 1.0)
+    return fwd * (3.0 if train else 1.0)
 
 
 def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
@@ -204,13 +207,16 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
     if train:
         from realise_tpu.training.trainer import Trainer
 
-        # Training rematerializes the encoder layer body: without it the
-        # backward saves every layer's FFN intermediates + attention probs
-        # (~12 GB at batch 256) and OOMs a 16 GB chip.
+        # The jnp path rematerializes the encoder layer body: without it
+        # the backward saves every layer's FFN intermediates + attention
+        # probs (~12 GB at batch 256) and OOMs a 16 GB chip. The Pallas
+        # train kernels need neither (their custom VJP stores only the
+        # block inputs and recomputes in VMEM).
         train_cfg = cfg.replace(remat=True)
         trainer = Trainer(train_cfg, jax.tree.map(lambda x: x, params),
                           jax.tree.map(lambda x: x, state),
-                          learning_rate=5e-5, total_steps=1000, seed=0)
+                          learning_rate=5e-5, total_steps=1000, seed=0,
+                          use_pallas=use_pallas)
 
     return (infer_step, full_forward_step, trainer,
             (params, state, infer_batch, batch), batch_size, cfg)
@@ -309,6 +315,22 @@ def main():
         ts = trainer.train_state
         step_arr = jax.numpy.asarray(0, jax.numpy.int32)
         dbatch = trainer._put_batch(batch)
+        if args.use_pallas:
+            # Guard the driver artifact: if the custom-VJP kernels fail to
+            # compile on this toolchain, fall back to the jnp trainer
+            # instead of dying without the JSON line.
+            try:
+                trainer._train_step.lower(ts.params, ts.state, ts.opt_state,
+                                          dbatch, step_arr).compile()
+            except Exception as e:
+                _log(f"pallas train step failed to compile ({e!r:.200}); "
+                     f"falling back to the jnp training path")
+                from realise_tpu.training.trainer import Trainer
+
+                trainer = Trainer(trainer.cfg, ts.params, ts.state,
+                                  learning_rate=5e-5, total_steps=1000,
+                                  seed=0, use_pallas=False)
+                ts = trainer.train_state
         compiled_flops(trainer._train_step, ts.params, ts.state,
                        ts.opt_state, dbatch, step_arr)
         train_flops = bs * analytic_flops_per_sentence(cfg_full,

@@ -309,10 +309,10 @@ def apply_realise(
     src_idx = batch["src_idx"]
     dtype = jnp.dtype(cfg.dtype)
     tables = inference_tables or {}
-    # The fused Pallas block kernels (ops/pallas/bert_block.py) are
-    # forward-only: serving uses them, the differentiable training path
-    # stays on the jnp code.
-    use_pallas = use_pallas and deterministic
+    # Fused Pallas block kernels serve both paths: forward-only kernels on
+    # the deterministic/serving path (ops/pallas/bert_block.py) and
+    # custom-VJP kernels with in-kernel dropout on the training path
+    # (ops/pallas/bert_block_train.py) — ops/bert.py picks per call.
 
     sem = bert_model(params["bert"], cfg, input_ids=src_idx,
                      attention_mask=attention_mask,
@@ -515,7 +515,8 @@ def apply_pretrain(
     """
     dtype = jnp.dtype(cfg.dtype)
     new_state = state
-    use_pallas = use_pallas and deterministic  # forward-only kernels
+    # ops/bert.py routes to the forward-only or custom-VJP block kernels
+    # depending on ``deterministic``; both accept use_pallas=True here.
 
     if cfg.model_type == "res-pretrain":
         # batch: char_idx (N,) — single chars.

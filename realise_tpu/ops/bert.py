@@ -205,11 +205,16 @@ def bert_encoder(
 ) -> jax.Array:
     """lax.scan over stacked layer params."""
 
-    # The fused block kernels compute the exact deterministic sub-blocks
-    # (no dropout), so they serve the inference path only — training keeps
-    # the differentiable jnp implementation (callers already force
-    # use_pallas off when deterministic=False, models/realise.py).
+    # Kernel routing: the deterministic path uses the forward-only fused
+    # block kernels (ops/pallas/bert_block.py); the training path uses the
+    # custom-VJP variants with in-kernel dropout and fused backward
+    # (ops/pallas/bert_block_train.py).
     use_blocks = use_pallas and deterministic
+    use_train_blocks = use_pallas and not deterministic
+    p_rate = cfg.attention_probs_dropout_prob
+    h_rate = cfg.hidden_dropout_prob
+    if use_train_blocks and (p_rate > 0.0 or h_rate > 0.0) and rng is None:
+        raise ValueError("dropout requires an rng when not deterministic")
 
     def layer_body(carry, xs):
         hidden, layer_idx = carry
@@ -226,6 +231,26 @@ def bert_encoder(
                                      eps=cfg.layer_norm_eps)
             hidden = ffn_block(hidden, layer_params["ffn"],
                                eps=cfg.layer_norm_eps)
+        elif use_train_blocks:
+            from realise_tpu.ops.pallas.bert_block_train import (
+                attention_block_train,
+                ffn_block_train,
+            )
+
+            # One int32 seed per layer drives every dropout site in both
+            # sub-blocks (sites are salted separately in-kernel); the
+            # backward replays the identical masks from the same seed.
+            if layer_rng is not None:
+                seed = jax.random.randint(layer_rng, (1,), 0,
+                                          jnp.iinfo(jnp.int32).max,
+                                          dtype=jnp.int32)
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+            hidden = attention_block_train(
+                hidden, layer_params["attention"], attn_bias, seed,
+                cfg.num_attention_heads, cfg.layer_norm_eps, p_rate, h_rate)
+            hidden = ffn_block_train(hidden, layer_params["ffn"], seed,
+                                     cfg.layer_norm_eps, h_rate)
         else:
             hidden = _self_attention(layer_params["attention"], hidden,
                                      attn_bias, cfg, deterministic,
@@ -235,7 +260,10 @@ def bert_encoder(
         return (hidden, layer_idx + 1), None
 
     body = layer_body
-    if cfg.remat:
+    # The custom-VJP kernels already store only (x, z) per sub-block and
+    # recompute the rest in VMEM during backward — wrapping them in
+    # jax.checkpoint would just re-run the forward kernels for nothing.
+    if cfg.remat and not use_train_blocks:
         body = jax.checkpoint(layer_body)
     (hidden, _), _ = jax.lax.scan(body, (hidden, 0), encoder_params)
     return hidden

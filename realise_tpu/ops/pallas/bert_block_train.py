@@ -1,0 +1,672 @@
+"""Differentiable fused BERT-block Pallas kernels (training path).
+
+The serving kernels (ops/pallas/bert_block.py) are forward-only; this module
+makes the same block-granularity fusion differentiable so ``--use_pallas``
+accelerates *training*:
+
+* **Forward** kernels compute the identical math plus the two semantics the
+  training path needs — in-kernel dropout and the pre-LN residual ``z``
+  saved for backward (reference dropout sites: attention probs and hidden
+  outputs, transformers/modeling_bert.py:239-263,346-369).
+* **Backward** kernels fuse the whole sub-block VJP: LayerNorm backward,
+  dropout-mask replay, in-VMEM recompute of q/k/v/probs (attention) or the
+  FFN intermediate, and all weight/bias gradients. Weight grads accumulate
+  across the batch grid in grid-invariant f32 output blocks (initialized at
+  step 0, ``+=`` after — the TPU grid is sequential).
+
+Why this beats ``jax.checkpoint`` + XLA backward: remat re-runs the whole
+forward a second time and still spills every intermediate (q/k/v, probs,
+the FFN intermediate, LN inputs) to HBM between XLA fusions in both the
+re-forward and the backward. Here the residuals are just the block input
+``x`` (attention) or ``(x, z)`` (FFN, whose split-intermediate backward
+needs the pre-LN sum) — remat-level memory — and the backward recompute
+never leaves VMEM, with fewer matmul FLOPs than remat (no LN re-forward,
+no second out-projection for the FFN).
+
+**Dropout masks** come from a counter-based hash (murmur3 finalizer over
+the element index), not the hardware PRNG: the same (seed, site, example,
+element) always yields the same bit, so the backward replays the forward's
+masks exactly, on any backend (compiled TPU and CPU interpret mode agree
+bit-for-bit — ``pltpu.prng_*`` has no interpret-mode lowering). Masks never
+touch HBM. The stream differs from ``jax.random.bernoulli``'s, which is
+fine: dropout only needs the right marginal rate and independence, not a
+particular stream (the reference's torch masks differ from jax's too).
+
+Numerics elsewhere match the jnp path's mixed-precision rules: matmuls
+accumulate f32 and round to the activation dtype, softmax/LN/mask-scale run
+in f32, weight grads accumulate f32 (params are f32).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from realise_tpu.ops.pallas.bert_block import (
+    _default_interpret,
+    _erf,
+    _gelu_exact,
+    _ln,
+    _row,
+)
+
+_INV_SQRT2PI = 0.3989422804014327
+
+# The backward kernels' working set (weights + f32 weight-grad accumulators
+# + activations) slightly exceeds XLA's default 16 MB scoped-VMEM cap at
+# H=768. The cap is a compiler default, not the physical VMEM size — raise
+# it for these kernels; inputs stream at ~1 MB/step so double-buffering
+# headroom is unaffected.
+_TRAIN_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+
+
+def _gelu_grad(t32):
+    # d/dt [t * Phi(t)] = Phi(t) + t * phi(t), exact-erf convention.
+    phi = _INV_SQRT2PI * jnp.exp(-0.5 * t32 * t32)
+    cdf = 0.5 * (1.0 + _erf(t32 * 0.7071067811865476))
+    return cdf + t32 * phi
+
+
+# --------------------------------------------------------------------------
+# Counter-based dropout masks (identical forward and backward)
+# --------------------------------------------------------------------------
+def _mix(h):
+    """murmur3 fmix32: bijective avalanche over uint32."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _site_base(seed, site: int, example, head: int = 0):
+    """uint32 stream id for one (seed, dropout site, example, head)."""
+    s = seed.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+    s = s + jnp.uint32(site) * jnp.uint32(0x85EBCA6B)
+    s = s + example.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
+    s = s + jnp.uint32(head) * jnp.uint32(0x27D4EB2F)
+    return _mix(s)
+
+
+def _keep_mask(base, rows: int, cols: int, keep: float):
+    """(rows, cols) f32 mask of {0, 1/keep} — dropout multiplier."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
+    bits = _mix(base + r * jnp.uint32(cols) + c)
+    thresh = jnp.uint32(min(int(keep * (1 << 24)), (1 << 24)))
+    return ((bits >> 8) < thresh).astype(jnp.float32) * (1.0 / keep)
+
+
+# --------------------------------------------------------------------------
+# Attention block (train): forward with dropout + saved z, fused backward
+# --------------------------------------------------------------------------
+# Dropout site ids (arbitrary but stable; must differ across sites).
+_SITE_PROBS = 1
+_SITE_ATTN_OUT = 2
+_SITE_FFN_OUT = 3
+
+
+def _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed, ex, p_rate):
+    """Per-head probs (+dropout) and context for ONE example.
+
+    q/k/v: (S, H) activation dtype. Returns ctx (S, H).
+    """
+    s, hdim = q.shape
+    hd = hdim // num_heads
+    dtype = q.dtype
+    outs = []
+    for h in range(num_heads):
+        sl = slice(h * hd, (h + 1) * hd)
+        scores = jax.lax.dot_general(
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores * scale + brow, axis=-1)
+        if p_rate > 0.0:
+            base = _site_base(seed, _SITE_PROBS, ex, head=h)
+            probs = probs * _keep_mask(base, s, s, 1.0 - p_rate)
+        outs.append(jnp.dot(probs.astype(dtype), v[:, sl],
+                            preferred_element_type=jnp.float32).astype(dtype))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
+                   p_rate, h_rate, interpret):
+    """Training forward: returns y. Unlike the FFN block, no pre-LN
+    residual is saved — the backward recomputes z from x (it recomputes
+    q/k/v/ctx anyway, so z costs one extra out-projection matmul and saves
+    a (B, S, H) residual per layer in HBM)."""
+    b, s, hdim = x.shape
+    hd = hdim // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    dtype = x.dtype
+    wcast = lambda p: p["kernel"].astype(dtype)
+    bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
+                             (b, 8, s))
+    ln = attn_params["layer_norm"]
+
+    def kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
+               bv_ref, wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref):
+        i = pl.program_id(0)
+        seed_s = seed_ref[0]
+        xf = x_ref[0]
+        proj = lambda w_ref, b_ref: (
+            jnp.dot(xf, w_ref[:],
+                    preferred_element_type=jnp.float32).astype(dtype)
+            + b_ref[:].astype(dtype))
+        q = proj(wq_ref, bq_ref)
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+        brow = bias_ref[0][0:1, :]
+        ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
+                              p_rate)
+        attn = (jnp.dot(ctx, wo_ref[:],
+                        preferred_element_type=jnp.float32)
+                + bo_ref[:].astype(jnp.float32))
+        if h_rate > 0.0:
+            base = _site_base(seed_s, _SITE_ATTN_OUT, i)
+            attn = attn * _keep_mask(base, s, hdim, 1.0 - h_rate)
+        z32 = xf.astype(jnp.float32) + attn
+        o_ref[0] = _ln(z32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
+
+    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 8, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    y = pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  xspec, wspec, rspec, wspec, rspec, wspec, rspec,
+                  wspec, rspec, rspec, rspec, bspec],
+        out_specs=xspec,
+        out_shape=jax.ShapeDtypeStruct((b, s, hdim), dtype),
+        interpret=interpret,
+        compiler_params=_TRAIN_VMEM_LIMIT,
+    )(seed, x,
+      wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
+      wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
+      wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+      wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
+      _row(ln["scale"]), _row(ln["bias"]), bias2)
+    return y
+
+
+def _ln_bwd(z32, dy32, g_row, eps):
+    """LayerNorm backward. Returns (dz, dgamma_rowsum, dbeta_rowsum)."""
+    mu = z32.mean(axis=-1, keepdims=True)
+    var = ((z32 - mu) ** 2).mean(axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    norm = (z32 - mu) * rstd
+    g = dy32 * g_row
+    dz = rstd * (g - g.mean(axis=-1, keepdims=True)
+                 - norm * (g * norm).mean(axis=-1, keepdims=True))
+    dgamma = jnp.sum(dy32 * norm, axis=0, keepdims=True)
+    dbeta = jnp.sum(dy32, axis=0, keepdims=True)
+    return dz, dgamma, dbeta
+
+
+def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
+                   p_rate, h_rate, interpret):
+    b, s, hdim = x.shape
+    hd = hdim // num_heads
+    scale = 1.0 / (hd ** 0.5)
+    dtype = x.dtype
+    wcast = lambda p: p["kernel"].astype(dtype)
+    bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
+                             (b, 8, s))
+    ln = attn_params["layer_norm"]
+
+    def kernel(seed_ref, x_ref, dy_ref, wq_ref, bq_ref, wk_ref,
+               bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, g_ref, bias_ref,
+               dx_ref, ctx_ref, dattn_ref, dwq_ref, dbq_ref, dwk_ref,
+               dbk_ref, dwv_ref, dbv_ref, dg_ref, dbe_ref):
+        i = pl.program_id(0)
+        seed_s = seed_ref[0]
+
+        @pl.when(i == 0)
+        def _():
+            for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+                        dbv_ref, dg_ref, dbe_ref):
+                ref[:] = jnp.zeros_like(ref)
+
+        xf = x_ref[0]
+        # Recompute q/k/v, per-head probs (with dropout replay), ctx and
+        # the pre-LN residual z in VMEM — z is NOT a stored residual (it is
+        # one out-projection away from ctx, which the backward needs
+        # anyway; storing it would cost (B, S, H) HBM per layer).
+        proj = lambda w_ref, b_ref: (
+            jnp.dot(xf, w_ref[:],
+                    preferred_element_type=jnp.float32).astype(dtype)
+            + b_ref[:].astype(dtype))
+        q = proj(wq_ref, bq_ref)
+        k = proj(wk_ref, bk_ref)
+        v = proj(wv_ref, bv_ref)
+        brow = bias_ref[0][0:1, :]
+        # Probs are NOT stashed across heads (12 heads of f32 (S,S) ≈ 0.8 MB
+        # of VMEM) — each head's probs are recomputed in the grad loop
+        # below, ~2% extra FLOPs for the whole backward.
+        ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
+                              p_rate)
+        ctx_ref[0] = ctx
+        attn = (jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
+                + bo_ref[:].astype(jnp.float32))
+        if h_rate > 0.0:
+            base = _site_base(seed_s, _SITE_ATTN_OUT, i)
+            keep_h = _keep_mask(base, s, hdim, 1.0 - h_rate)
+            attn = attn * keep_h
+        z32 = xf.astype(jnp.float32) + attn
+
+        dy32 = dy_ref[0].astype(jnp.float32)
+        dz, dgamma, dbeta = _ln_bwd(z32, dy32, g_ref[:], eps)
+        dg_ref[:] += dgamma
+        dbe_ref[:] += dbeta
+
+        dattn = dz
+        if h_rate > 0.0:
+            dattn = dattn * keep_h
+        dattn_lo = dattn.astype(dtype)
+        # ctx and dattn stream out; dWo = ctxᵀ·dattn and dbo = Σdattn run as
+        # ONE batched XLA matmul/reduce outside — an f32 (H, H) dWo
+        # accumulator plus Wo's grad buffer in here would tip the kernel
+        # over the 16 MB scoped-VMEM cap at H=768.
+        dattn_ref[0] = dattn_lo
+
+        # dattn · Woᵀ without materializing the transpose in VMEM.
+        dctx = jax.lax.dot_general(
+            dattn_lo, wo_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype)
+
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            scores = jax.lax.dot_general(
+                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(scores * scale + brow, axis=-1)
+            if p_rate > 0.0:
+                base = _site_base(seed_s, _SITE_PROBS, i, head=h)
+                keep = _keep_mask(base, s, s, 1.0 - p_rate)
+                probs_d = probs * keep
+            else:
+                keep = None
+                probs_d = probs
+            # dv = P_dropᵀ · dctx
+            dv_parts.append(jax.lax.dot_general(
+                probs_d.astype(dtype), dctx[:, sl],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+            # dP_drop = dctx · vᵀ ; replay dropout; softmax backward
+            dpd = jax.lax.dot_general(
+                dctx[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            dp = dpd * keep if keep is not None else dpd
+            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+            ds = (ds * scale).astype(dtype)
+            dq_parts.append(jnp.dot(ds, k[:, sl],
+                                    preferred_element_type=jnp.float32)
+                            .astype(dtype))
+            dk_parts.append(jax.lax.dot_general(
+                ds, q[:, sl], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+        dq = jnp.concatenate(dq_parts, axis=-1)
+        dk = jnp.concatenate(dk_parts, axis=-1)
+        dv = jnp.concatenate(dv_parts, axis=-1)
+
+        gw = lambda dout: jax.lax.dot_general(
+            xf, dout, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dwq_ref[:] += gw(dq)
+        dwk_ref[:] += gw(dk)
+        dwv_ref[:] += gw(dv)
+        dbq_ref[:] += jnp.sum(dq.astype(jnp.float32), axis=0, keepdims=True)
+        dbk_ref[:] += jnp.sum(dk.astype(jnp.float32), axis=0, keepdims=True)
+        dbv_ref[:] += jnp.sum(dv.astype(jnp.float32), axis=0, keepdims=True)
+
+        dproj = lambda d, w_ref: jax.lax.dot_general(
+            d, w_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dx = dz + dproj(dq, wq_ref) + dproj(dk, wk_ref) + dproj(dv, wv_ref)
+        dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((1, 8, s), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    out = pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  xspec, xspec, wspec, rspec, wspec, rspec,
+                  wspec, rspec, wspec, rspec, rspec, bspec],
+        out_specs=(xspec, xspec, xspec, wspec, rspec, wspec, rspec,
+                   wspec, rspec, rspec, rspec),
+        out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                   jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                   jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                   jax.ShapeDtypeStruct((hdim, hdim), f32),
+                   jax.ShapeDtypeStruct((1, hdim), f32),
+                   jax.ShapeDtypeStruct((hdim, hdim), f32),
+                   jax.ShapeDtypeStruct((1, hdim), f32),
+                   jax.ShapeDtypeStruct((hdim, hdim), f32),
+                   jax.ShapeDtypeStruct((1, hdim), f32),
+                   jax.ShapeDtypeStruct((1, hdim), f32),
+                   jax.ShapeDtypeStruct((1, hdim), f32)),
+        interpret=interpret,
+        compiler_params=_TRAIN_VMEM_LIMIT,
+    )(seed, x, dy,
+      wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
+      wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
+      wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+      wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
+      _row(ln["scale"]), bias2)
+    (dx, ctx, dattn, dwq, dbq, dwk, dbk, dwv, dbv, dg, dbe) = out
+    # The out-projection grads from the streamed ctx/dattn — one batched
+    # XLA matmul, exactly the math the kernel would have accumulated.
+    dwo = jax.lax.dot_general(
+        ctx.reshape(b * s, hdim), dattn.reshape(b * s, hdim),
+        (((0,), (0,)), ((), ())), preferred_element_type=f32)
+    dbo = jnp.sum(dattn.astype(f32), axis=(0, 1))[None, :]
+    pd = jnp.dtype(attn_params["query"]["kernel"].dtype)
+    dparams = {
+        "query": {"kernel": dwq.astype(pd), "bias": dbq[0].astype(pd)},
+        "key": {"kernel": dwk.astype(pd), "bias": dbk[0].astype(pd)},
+        "value": {"kernel": dwv.astype(pd), "bias": dbv[0].astype(pd)},
+        "output": {"kernel": dwo.astype(pd), "bias": dbo[0].astype(pd)},
+        "layer_norm": {"scale": dg[0].astype(pd), "bias": dbe[0].astype(pd)},
+    }
+    return dx, dparams
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def attention_block_train(x, attn_params, bias, seed, num_heads,
+                          eps=1e-12, p_rate=0.0, h_rate=0.0,
+                          interpret=None):
+    """Differentiable fused attention sub-block with in-kernel dropout.
+
+    x: (B, S, H); seed: (1,) int32 controlling the dropout streams
+    (p_rate = attention-probs rate, h_rate = hidden/output rate). Matches
+    ops/bert.py:_self_attention up to the dropout bit-stream.
+    """
+    if interpret is None:
+        interpret = _default_interpret()
+    return _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
+                          p_rate, h_rate, interpret)
+
+
+def _attn_train_fwd(x, attn_params, bias, seed, num_heads, eps, p_rate,
+                    h_rate, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    y = _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
+                       p_rate, h_rate, interpret)
+    return y, (x, attn_params, bias, seed)
+
+
+def _attn_train_bwd(num_heads, eps, p_rate, h_rate, interpret, res, dy):
+    x, attn_params, bias, seed = res
+    if interpret is None:
+        interpret = _default_interpret()
+    dx, dparams = _attn_bwd_impl(x, attn_params, bias, seed, dy,
+                                 num_heads, eps, p_rate, h_rate, interpret)
+    dbias = jnp.zeros_like(bias, dtype=jnp.result_type(bias, jnp.float32)) \
+        if jnp.issubdtype(bias.dtype, jnp.floating) \
+        else np.zeros(bias.shape, dtype=jax.dtypes.float0)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dx, dparams, dbias, dseed
+
+
+attention_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)
+
+
+# --------------------------------------------------------------------------
+# FFN block (train)
+# --------------------------------------------------------------------------
+def _ffn_splits(hdim: int, isz: int, itemsize: int) -> int:
+    """Smallest split count keeping one split's weights + f32 weight-grads
+    within a ~12 MB VMEM budget (the bwd kernel is the binding case)."""
+    per_col_bytes = 2 * hdim * (itemsize + 4)  # w1_j+w2_j, dw1_j+dw2_j
+    budget = 12 * 1024 * 1024
+    for n in (1, 2, 3, 4, 6, 8):
+        if isz % n == 0 and per_col_bytes * (isz // n) <= budget:
+            return n
+    return 8
+
+
+def _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret):
+    b, s, hdim = x.shape
+    isz_total = ffn_params["intermediate"]["kernel"].shape[1]
+    dtype = x.dtype
+    n_splits = _ffn_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
+    isz = isz_total // n_splits
+    w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
+    w2 = ffn_params["output"]["kernel"].astype(dtype)
+    ln = ffn_params["layer_norm"]
+
+    def kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
+               be_ref, o_ref, z_ref, acc_ref):
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        x2 = x_ref[0]
+        inter = (jnp.dot(x2, w1_ref[:],
+                         preferred_element_type=jnp.float32).astype(dtype)
+                 + b1_ref[:].astype(dtype))
+        inter = _gelu_exact(inter.astype(jnp.float32)).astype(dtype)
+        part = jnp.dot(inter, w2_ref[:], preferred_element_type=jnp.float32)
+
+        @pl.when(j == 0)
+        def _():
+            acc_ref[:] = part
+
+        @pl.when(j > 0)
+        def _():
+            acc_ref[:] += part
+
+        @pl.when(j == pl.num_programs(1) - 1)
+        def _():
+            out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
+            if h_rate > 0.0:
+                base = _site_base(seed_ref[0], _SITE_FFN_OUT, i)
+                out = out * _keep_mask(base, s, hdim, 1.0 - h_rate)
+            z32 = x2.astype(jnp.float32) + out
+            z_ref[0] = z32.astype(z_ref.dtype)
+            o_ref[0] = _ln(z32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
+
+    xspec = pl.BlockSpec((1, s, hdim), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w1spec = pl.BlockSpec((hdim, isz), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    b1spec = pl.BlockSpec((1, isz), lambda i, j: (0, j),
+                          memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((isz, hdim), lambda i, j: (j, 0),
+                          memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, hdim), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM)
+    y, z = pl.pallas_call(
+        kernel, grid=(b, n_splits),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  xspec, w1spec, b1spec, w2spec, rspec, rspec, rspec],
+        out_specs=(xspec, xspec),
+        out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                   jax.ShapeDtypeStruct((b, s, hdim), dtype)),
+        scratch_shapes=[pltpu.VMEM((s, hdim), jnp.float32)],
+        interpret=interpret,
+        compiler_params=_TRAIN_VMEM_LIMIT,
+    )(seed, x, w1, _row(ffn_params["intermediate"]["bias"]), w2,
+      _row(ffn_params["output"]["bias"]), _row(ln["scale"]),
+      _row(ln["bias"]))
+    return y, z
+
+
+def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret):
+    """Backward as ``n_splits`` sequential kernels over intermediate slices.
+
+    Each call owns one column slice of W1 / row slice of W2 so its f32
+    weight-grad accumulators fit VMEM; LN backward is recomputed per call
+    (cheap VPU work), the residual/db2/dγ/dβ terms are emitted by the j==0
+    call only, and dx is the sum of the per-slice partials.
+    """
+    b, s, hdim = x.shape
+    isz_total = ffn_params["intermediate"]["kernel"].shape[1]
+    dtype = x.dtype
+    n_splits = _ffn_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
+    isz = isz_total // n_splits
+    ln = ffn_params["layer_norm"]
+    w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
+    w2 = ffn_params["output"]["kernel"].astype(dtype)
+    b1 = _row(ffn_params["intermediate"]["bias"])
+    f32 = jnp.float32
+
+    def make_kernel(first: bool):
+        def kernel(seed_ref, x_ref, z_ref, dy_ref, w1_ref, b1_ref, w2_ref,
+                   g_ref, *refs):
+            if first:
+                (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
+                 dbe_ref) = refs
+            else:
+                dx_ref, dw1_ref, db1_ref, dw2_ref = refs
+            i = pl.program_id(0)
+
+            @pl.when(i == 0)
+            def _():
+                grad_refs = (dw1_ref, db1_ref, dw2_ref)
+                if first:
+                    grad_refs += (db2_ref, dg_ref, dbe_ref)
+                for ref in grad_refs:
+                    ref[:] = jnp.zeros_like(ref)
+
+            xf = x_ref[0]
+            z32 = z_ref[0].astype(f32)
+            dy32 = dy_ref[0].astype(f32)
+            dz, dgamma, dbeta = _ln_bwd(z32, dy32, g_ref[:], eps)
+            dout = dz
+            if h_rate > 0.0:
+                base = _site_base(seed_ref[0], _SITE_FFN_OUT, i)
+                dout = dout * _keep_mask(base, s, hdim, 1.0 - h_rate)
+            if first:
+                dg_ref[:] += dgamma
+                dbe_ref[:] += dbeta
+                db2_ref[:] += jnp.sum(dout, axis=0, keepdims=True)
+            dout_lo = dout.astype(dtype)
+
+            t1 = (jnp.dot(xf, w1_ref[:],
+                          preferred_element_type=f32).astype(dtype)
+                  + b1_ref[:].astype(dtype))
+            t1_32 = t1.astype(f32)
+            inter = _gelu_exact(t1_32).astype(dtype)
+            dw2_ref[:] += jax.lax.dot_general(
+                inter, dout_lo, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            dinter = jax.lax.dot_general(
+                dout_lo, w2_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            dt1 = (dinter * _gelu_grad(t1_32)).astype(dtype)
+            dw1_ref[:] += jax.lax.dot_general(
+                xf, dt1, (((0,), (0,)), ((), ())),
+                preferred_element_type=f32)
+            db1_ref[:] += jnp.sum(dt1.astype(f32), axis=0, keepdims=True)
+            dx = jax.lax.dot_general(
+                dt1, w1_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=f32)
+            if first:
+                dx = dx + dz
+            dx_ref[0] = dx.astype(dx_ref.dtype)
+
+        return kernel
+
+    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    w1spec = pl.BlockSpec((hdim, isz), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    b1spec = pl.BlockSpec((1, isz), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    w2spec = pl.BlockSpec((isz, hdim), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+    dx_total = None
+    dw1_parts, db1_parts, dw2_parts = [], [], []
+    db2 = dg = dbe = None
+    for j in range(n_splits):
+        first = j == 0
+        out_specs = [xspec, w1spec, b1spec, w2spec]
+        out_shape = [jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                     jax.ShapeDtypeStruct((hdim, isz), f32),
+                     jax.ShapeDtypeStruct((1, isz), f32),
+                     jax.ShapeDtypeStruct((isz, hdim), f32)]
+        if first:
+            out_specs += [rspec, rspec, rspec]
+            out_shape += [jax.ShapeDtypeStruct((1, hdim), f32)] * 3
+        out = pl.pallas_call(
+            make_kernel(first), grid=(b,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                      xspec, xspec, xspec, w1spec, b1spec, w2spec, rspec],
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
+            interpret=interpret,
+            compiler_params=_TRAIN_VMEM_LIMIT,
+        )(seed, x, z, dy, w1[:, j * isz:(j + 1) * isz],
+          b1[:, j * isz:(j + 1) * isz], w2[j * isz:(j + 1) * isz, :],
+          _row(ln["scale"]))
+        if first:
+            dx_j, dw1_j, db1_j, dw2_j, db2, dg, dbe = out
+        else:
+            dx_j, dw1_j, db1_j, dw2_j = out
+        dx_total = dx_j if dx_total is None else dx_total + dx_j
+        dw1_parts.append(dw1_j)
+        db1_parts.append(db1_j)
+        dw2_parts.append(dw2_j)
+
+    pd = jnp.dtype(ffn_params["intermediate"]["kernel"].dtype)
+    dparams = {
+        "intermediate": {
+            "kernel": jnp.concatenate(dw1_parts, axis=1).astype(pd),
+            "bias": jnp.concatenate(db1_parts, axis=1)[0].astype(pd),
+        },
+        "output": {
+            "kernel": jnp.concatenate(dw2_parts, axis=0).astype(pd),
+            "bias": db2[0].astype(pd),
+        },
+        "layer_norm": {"scale": dg[0].astype(pd), "bias": dbe[0].astype(pd)},
+    }
+    return dx_total, dparams
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def ffn_block_train(x, ffn_params, seed, eps=1e-12, h_rate=0.0,
+                    interpret=None):
+    """Differentiable fused FFN sub-block with in-kernel output dropout."""
+    if interpret is None:
+        interpret = _default_interpret()
+    y, _ = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
+    return y
+
+
+def _ffn_train_fwd(x, ffn_params, seed, eps, h_rate, interpret):
+    if interpret is None:
+        interpret = _default_interpret()
+    y, z = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
+    return y, (x, ffn_params, seed, z)
+
+
+def _ffn_train_bwd(eps, h_rate, interpret, res, dy):
+    x, ffn_params, seed, z = res
+    if interpret is None:
+        interpret = _default_interpret()
+    dx, dparams = _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate,
+                                interpret)
+    dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
+    return dx, dparams, dseed
+
+
+ffn_block_train.defvjp(_ffn_train_fwd, _ffn_train_bwd)

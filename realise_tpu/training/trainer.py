@@ -68,6 +68,14 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh
+        if use_pallas and mesh is not None and mesh.size > 1:
+            # pallas_call is a custom call XLA cannot partition: under a
+            # >1-device mesh it would all-gather the batch and replicate
+            # the whole encoder on every device. The jnp path partitions
+            # cleanly, so it wins on any multi-chip mesh.
+            logger.info("use_pallas disabled under a %d-device mesh "
+                        "(fused kernels are single-device)", mesh.size)
+            use_pallas = False
         self.use_pallas = use_pallas
         self.pretrain = pretrain
         self.grad_accum_steps = grad_accum_steps

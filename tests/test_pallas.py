@@ -81,3 +81,197 @@ def test_model_forward_with_pallas_matches(tokenizer):
     b = apply_realise(params, state, batch, cfg, use_pallas=True)
     np.testing.assert_allclose(np.asarray(a["logits"]),
                                np.asarray(b["logits"]), atol=2e-4)
+
+
+# --------------------------------------------------------------------------
+# Differentiable (training) block kernels — ops/pallas/bert_block_train.py
+# --------------------------------------------------------------------------
+def _train_cfg():
+    from realise_tpu.config import config_for
+
+    return config_for("bert-pho2-res-arch3", vocab_size=64, hidden_size=16,
+                      num_hidden_layers=1, num_attention_heads=2,
+                      intermediate_size=32, max_seq_length=8,
+                      hidden_dropout_prob=0.0,
+                      attention_probs_dropout_prob=0.0)
+
+
+def test_train_blocks_grads_match_jnp_rate0():
+    """custom-VJP kernels (dropout off) == jax.grad of the jnp sub-blocks,
+    for the input grad and every weight/bias/LN grad."""
+    from realise_tpu.ops.bert import _ffn, _self_attention, init_bert_layer
+    from realise_tpu.ops.pallas.bert_block_train import (
+        attention_block_train,
+        ffn_block_train,
+    )
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 16))
+    mask = jnp.ones((3, 8), jnp.int32).at[1, 5:].set(0)
+    bias = attention_bias_from_mask(mask, jnp.float32)
+    dy = jax.random.normal(jax.random.PRNGKey(2), (3, 8, 16))
+    seed = jnp.array([5], jnp.int32)
+
+    def attn_ref(x, p):
+        return jnp.sum(_self_attention(p, x, bias, cfg, True, None) * dy)
+
+    def attn_pal(x, p):
+        return jnp.sum(attention_block_train(
+            x, p, bias, seed, cfg.num_attention_heads, cfg.layer_norm_eps,
+            0.0, 0.0, True) * dy)
+
+    gr = jax.grad(attn_ref, argnums=(0, 1))(x, layer["attention"])
+    gp = jax.grad(attn_pal, argnums=(0, 1))(x, layer["attention"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-5), gr, gp)
+
+    def ffn_ref(x, p):
+        return jnp.sum(_ffn(p, x, cfg, True, None) * dy)
+
+    def ffn_pal(x, p):
+        return jnp.sum(ffn_block_train(
+            x, p, seed, cfg.layer_norm_eps, 0.0, True) * dy)
+
+    gr = jax.grad(ffn_ref, argnums=(0, 1))(x, layer["ffn"])
+    gp = jax.grad(ffn_pal, argnums=(0, 1))(x, layer["ffn"])
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=3e-5), gr, gp)
+
+
+def test_train_blocks_dropout_finite_difference():
+    """With dropout ON the masks are a pure function of the seed, so the
+    analytic gradient must match central finite differences — this proves
+    the backward replays the forward's masks exactly."""
+    from realise_tpu.ops.bert import init_bert_layer
+    from realise_tpu.ops.pallas.bert_block_train import (
+        attention_block_train,
+        ffn_block_train,
+    )
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    bias = attention_bias_from_mask(jnp.ones((2, 8), jnp.int32), jnp.float32)
+    dy = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 16))
+    seed = jnp.array([5], jnp.int32)
+
+    def loss_attn(x):
+        return jnp.sum(attention_block_train(
+            x, layer["attention"], bias, seed, cfg.num_attention_heads,
+            cfg.layer_norm_eps, 0.2, 0.2, True) * dy)
+
+    def loss_ffn(x):
+        return jnp.sum(ffn_block_train(
+            x, layer["ffn"], seed, cfg.layer_norm_eps, 0.2, True) * dy)
+
+    rng = np.random.RandomState(0)
+    for loss in (loss_attn, loss_ffn):
+        g = jax.grad(loss)(x)
+        for _ in range(4):
+            idx = tuple(rng.randint(0, d) for d in x.shape)
+            eps = 1e-2
+            fd = (loss(x.at[idx].add(eps)) - loss(x.at[idx].add(-eps)))
+            fd = float(fd) / (2 * eps)
+            assert abs(fd - float(g[idx])) <= 2e-2 * max(abs(fd), 1.0), \
+                (fd, float(g[idx]))
+
+
+def test_train_blocks_dropout_deterministic_and_stochastic():
+    from realise_tpu.ops.bert import init_bert_layer
+    from realise_tpu.ops.pallas.bert_block_train import attention_block_train
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    bias = attention_bias_from_mask(jnp.ones((2, 8), jnp.int32), jnp.float32)
+
+    def run(s):
+        return attention_block_train(
+            x, layer["attention"], bias, jnp.array([s], jnp.int32),
+            cfg.num_attention_heads, cfg.layer_norm_eps, 0.3, 0.3, True)
+
+    a, b, c = run(7), run(7), run(8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert not np.array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_keep_mask_rate_and_determinism():
+    """The counter-based hash mask hits the requested keep rate and is a
+    pure function of (seed, site, example)."""
+    from realise_tpu.ops.pallas.bert_block_train import (
+        _keep_mask,
+        _site_base,
+    )
+
+    rates = []
+    for ex in range(16):
+        base = _site_base(jnp.int32(123), 3, jnp.int32(ex))
+        m = np.asarray(_keep_mask(base, 64, 128, 0.9))
+        rates.append((m > 0).mean())
+        m2 = np.asarray(_keep_mask(base, 64, 128, 0.9))
+        np.testing.assert_array_equal(m, m2)
+        # Survivors are scaled by 1/keep.
+        np.testing.assert_allclose(m[m > 0], 1.0 / 0.9, rtol=1e-6)
+    assert abs(float(np.mean(rates)) - 0.9) < 0.01, np.mean(rates)
+
+
+def test_model_train_grads_with_pallas_match_rate0(tokenizer):
+    """Whole-model: apply_realise loss grads with use_pallas=True equal the
+    jnp path when dropout is off (the only stochastic divergence between
+    the two training paths is the dropout bit-stream)."""
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import apply_realise, init_realise
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     hidden_size=16, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=32,
+                     pho_num_layers=1, out_num_layers=1, max_seq_length=8,
+                     max_position_embeddings=16, num_fonts=1,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    feat = Featurizer(tokenizer, cfg)
+    batch = feat.device_batch(feat.featurize(
+        synthetic_dataset(tokenizer, 2, min_len=3, max_len=5, seed=0)))
+    rng = jax.random.PRNGKey(3)
+
+    def loss(params, use_pallas):
+        out = apply_realise(params, state, batch, cfg, deterministic=False,
+                            rng=rng, train=True, use_pallas=use_pallas)
+        return out["loss"]
+
+    g_jnp = jax.grad(lambda p: loss(p, False))(params)
+    g_pal = jax.grad(lambda p: loss(p, True))(params)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=5e-5), g_jnp, g_pal)
+
+
+def test_trainer_fits_with_pallas_kernels(tokenizer):
+    """End-to-end: a Trainer with use_pallas=True (dropout on → in-kernel
+    masks + custom VJP) drives the loss down on an overfit batch."""
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import init_realise
+    from realise_tpu.training.trainer import Trainer
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     hidden_size=24, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=48,
+                     pho_num_layers=1, out_num_layers=1, max_seq_length=12,
+                     max_position_embeddings=32, num_fonts=1,
+                     hidden_dropout_prob=0.1,
+                     attention_probs_dropout_prob=0.1)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=8, max_len=8, seed=0)
+    batch = feat.device_batch(feat.featurize(data))
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    tr = Trainer(cfg, params, state, learning_rate=2e-3, total_steps=400,
+                 use_pallas=True)
+    first = float(tr.train_step(batch))
+    for _ in range(29):
+        loss = tr.train_step(batch)
+    assert float(loss) < first - 1.0, (first, float(loss))
