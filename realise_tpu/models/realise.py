@@ -186,7 +186,8 @@ def tie_cls_weight_noop():
 def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
                  deterministic, rng, use_pallas,
                  pho_table: Optional[jax.Array] = None,
-                 extra_embeds: Optional[jax.Array] = None) -> jax.Array:
+                 extra_embeds: Optional[jax.Array] = None,
+                 remat: bool = False) -> jax.Array:
     """pinyin chars → GRU last hidden per token → pho BERT (B, S, H).
 
     ``extra_embeds``: raw features summed into the GRU hiddens *before* the
@@ -201,8 +202,20 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
     else:
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)
-        emb = embed(params["embeddings"], pho_idx, dtype=dtype)
-        gru_h = gru_last_hidden(params["gru"], emb, pho_lens)
+
+        def gru_feats(emb_params, gru_params, pho_idx, pho_lens):
+            emb = embed(emb_params, pho_idx, dtype=dtype)
+            return gru_last_hidden(gru_params, emb, pho_lens)
+
+        if remat:
+            # The GRU scan stashes per-step hiddens + gate activations for
+            # backward — (P, B·S, H) each, ~2 GB at B=256/S=128/H=768.
+            # Checkpointing from the int32 pinyin ids (a few MB) makes the
+            # backward re-run the scan instead; the GRU is a small slice of
+            # total FLOPs, so this trades ~2 GB of HBM for ~3% recompute.
+            gru_feats = jax.checkpoint(gru_feats)
+        gru_h = gru_feats(params["embeddings"], params["gru"], pho_idx,
+                          pho_lens)
         gru_h = gru_h.reshape(b, s, cfg.hidden_size)
     if extra_embeds is not None:
         gru_h = gru_h + extra_embeds
@@ -232,7 +245,7 @@ def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
 
 def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
                 res_table: Optional[jax.Array] = None,
-                apply_ln: bool = True):
+                apply_ln: bool = True, remat: bool = False):
     """glyph gather → CharResNet → LN (src/models.py:829-838).
 
     ``apply_ln=False`` for merged-fusion models: SpellBertPho{1,2}Res have no
@@ -245,13 +258,23 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
         new_state = state["resnet"]
     else:
         flat = src_idx.reshape(-1)
-        # (B·S, F, 32, 32) → NHWC
-        images = jnp.take(state["char_images"], flat, axis=0)
-        images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
-        feats, new_state = char_resnet(params["resnet"], state["resnet"],
-                                       images, train=train,
-                                       variant=cfg.res_encoder,
-                                       hidden_size=cfg.hidden_size)
+
+        def conv_feats(resnet_params, bn_state, char_images, flat):
+            # (B·S, F, 32, 32) → NHWC
+            images = jnp.take(char_images, flat, axis=0)
+            images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
+            return char_resnet(resnet_params, bn_state, images, train=train,
+                               variant=cfg.res_encoder,
+                               hidden_size=cfg.hidden_size)
+
+        if remat:
+            # The conv stack's backward otherwise stashes every block's
+            # NHWC activation (~1 GB at B·S=32768) plus the gathered glyph
+            # images; checkpointing from the int32 char ids re-runs the
+            # gather + convs in backward instead.
+            conv_feats = jax.checkpoint(conv_feats)
+        feats, new_state = conv_feats(params["resnet"], state["resnet"],
+                                      state["char_images"], flat)
         feats = feats.reshape(b, s, cfg.hidden_size)
     if apply_ln:
         feats = layer_norm(params["layer_norm"], feats, cfg.layer_norm_eps)
@@ -325,12 +348,20 @@ def apply_realise(
     # own LayerNormed stream (src/models.py:836-838).
     merged = cfg.fusion == "merged"
 
+    # Stream remat: the custom-VJP train kernels skip the encoder
+    # jax.checkpoint, so without rematerializing the GRU/CharResNet
+    # activation stashes (~3 GB at B=256, S=128) the training step exceeds
+    # v5e HBM. The jnp train path fits without it and measures ~7% faster
+    # unremated, so this is gated to the Pallas training path only.
+    stream_remat = use_pallas and not deterministic
+
     new_state = state
     res_h = None
     if cfg.with_res:
         res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
                                           train, res_table=tables.get("res"),
-                                          apply_ln=not merged)
+                                          apply_ln=not merged,
+                                          remat=stream_remat)
         new_state = dict(state)
         new_state["resnet"] = res_bn_state
 
@@ -340,7 +371,8 @@ def apply_realise(
         streams.append(_pho2_stream(params["pho"], cfg, batch, attention_mask,
                                     deterministic, rng, use_pallas,
                                     pho_table=tables.get("pho"),
-                                    extra_embeds=res_into_pho))
+                                    extra_embeds=res_into_pho,
+                                    remat=stream_remat))
     elif cfg.pho_encoder == "pho1":
         streams.append(_pho1_stream(params["pho"], cfg, batch, attention_mask,
                                     deterministic, rng, use_pallas,

@@ -434,7 +434,15 @@ attention_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)
 # --------------------------------------------------------------------------
 def _ffn_splits(hdim: int, isz: int, itemsize: int) -> int:
     """Smallest split count keeping one split's weights + f32 weight-grads
-    within a ~12 MB VMEM budget (the bwd kernel is the binding case)."""
+    within a ~12 MB budget. The binding constraint is NOT the Mosaic kernel
+    (whose vmem_limit is raised to 48 MB) but XLA's *own* 16 MB scoped-vmem
+    cap on the fusion wrapping the pallas_call: the f32 dw1/dw2 outputs
+    count against it, and at n=1 (H=768/I=3072: 18.9 MB of weight grads)
+    compilation dies with "exceeded scoped vmem limit" inside the layer
+    scan's transpose. n=3 re-reads x/z/dy from HBM per split (~0.9 GB/step
+    extra), which measures ~42% train MFU anyway — raising XLA's
+    --xla_tpu_scoped_vmem_limit_kib could buy the rest but is not
+    plumbable through this runtime's fixed terminal flags."""
     per_col_bytes = 2 * hdim * (itemsize + 4)  # w1_j+w2_j, dw1_j+dw2_j
     budget = 12 * 1024 * 1024
     for n in (1, 2, 3, 4, 6, 8):
