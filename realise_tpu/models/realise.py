@@ -565,9 +565,11 @@ def apply_pretrain(
         out = {"logits": logits, "state": new_state}
         if "char_idx" in batch:
             n = batch["char_idx"].shape[0]
-            out["loss"] = masked_cross_entropy(
+            ls, lc = masked_cross_entropy_sum(
                 logits[:, None, :], batch["char_idx"][:, None],
                 jnp.ones((n, 1), jnp.int32))
+            out["loss_sum"], out["loss_count"] = ls, lc
+            out["loss"] = ls / jnp.maximum(lc, 1.0)
         return out
 
     # pho2-pretrain / pho2-res-pretrain operate on full sequences.

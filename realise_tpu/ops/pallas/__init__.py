@@ -15,9 +15,14 @@ Two modules ship:
 
 Each kernel has a jnp reference implementation in realise_tpu.ops with
 interpret-mode parity/gradient tests; kernels compile on TPU and run
-interpreted on CPU (tests only — auto-disabled for speed there). They are
-single-device: under a >1-device mesh the Trainer falls back to the jnp
-path, which XLA partitions (pallas_call is a custom call XLA cannot shard).
+interpreted on CPU (tests only — auto-disabled for speed there). A kernel
+body is single-device (pallas_call is a custom call XLA cannot shard), but
+on a data-only mesh the Trainer runs the whole step under ``jax.shard_map``
+— each device executes the kernels on its batch shard with explicit psum
+of loss sums/grads (training/trainer.py:_train_step_shard) — so multi-chip
+data parallelism keeps the fused path. Tensor-parallel meshes split the
+hidden dim the kernels assume whole; those fall back to the jnp path,
+which XLA partitions.
 
 ``use_pallas`` flags default to auto (on for real TPUs) on the serving/eval
 CLIs. Kernels that measured slower than their jnp/XLA counterparts

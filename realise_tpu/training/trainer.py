@@ -68,14 +68,24 @@ class Trainer:
     ):
         self.cfg = cfg
         self.mesh = mesh
+        # pallas_call is a custom call XLA's SPMD partitioner cannot split,
+        # so the kernels cannot run on global arrays under a >1-device
+        # mesh. Data-only meshes instead run the step under shard_map —
+        # each device executes the kernels on its local batch shard with
+        # explicit psum of loss sums / grads (exact global-batch gradient,
+        # the collectives XLA would have inserted for DDP). Tensor
+        # parallelism splits H across devices, which the kernels assume
+        # whole — fall back to the jnp path there.
+        self._shard_pallas = False
         if use_pallas and mesh is not None and mesh.size > 1:
-            # pallas_call is a custom call XLA cannot partition: under a
-            # >1-device mesh it would all-gather the batch and replicate
-            # the whole encoder on every device. The jnp path partitions
-            # cleanly, so it wins on any multi-chip mesh.
-            logger.info("use_pallas disabled under a %d-device mesh "
-                        "(fused kernels are single-device)", mesh.size)
-            use_pallas = False
+            data_only = all(mesh.shape[ax] == 1 for ax in mesh.axis_names
+                            if ax != "data")
+            if data_only and "data" in mesh.axis_names:
+                self._shard_pallas = True
+            else:
+                logger.info("use_pallas disabled under a tensor-parallel "
+                            "mesh (fused kernels need the full hidden dim)")
+                use_pallas = False
         self.use_pallas = use_pallas
         self.pretrain = pretrain
         self.grad_accum_steps = grad_accum_steps
@@ -108,9 +118,23 @@ class Trainer:
         self.train_state = TrainState(params=params, state=state,
                                       opt_state=opt_state, step=0)
 
-        self._train_step = jax.jit(self._train_step_impl,
-                                   donate_argnums=(0, 1, 2))
-        self._eval_step = jax.jit(self._eval_step_impl)
+        if self._shard_pallas:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            rep, dat = P(), P("data")
+            self._train_step = jax.jit(
+                shard_map(self._train_step_shard, mesh=self.mesh,
+                          in_specs=(rep, rep, rep, dat, rep),
+                          out_specs=(rep, rep, rep, rep),
+                          check_vma=False),
+                donate_argnums=(0, 1, 2))
+            self._sharded_eval_cache: Dict[bool, Any] = {}
+            self._eval_step = self._sharded_eval_dispatch
+        else:
+            self._train_step = jax.jit(self._train_step_impl,
+                                       donate_argnums=(0, 1, 2))
+            self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------ steps
     def _loss_fn(self, params, state, batch, rng):
@@ -170,6 +194,100 @@ class Trainer:
         if "loss" in out:
             res["loss"] = out["loss"]
         return res
+
+    # ------------------------------------------- shard_map (pallas × mesh)
+    def _train_step_shard(self, params, state, opt_state, batch, step):
+        """Per-device body of the shard_map'd train step.
+
+        Runs the Pallas kernels on this device's batch shard, then psums
+        the loss *sums*, valid-token *counts*, and gradients over the
+        ``data`` axis before normalizing — exactly the global-batch
+        gradient, matching what GSPMD inserts for the jnp path (and the
+        reference's DDP all-reduce, run.py:164-167)."""
+        rng = jax.random.fold_in(self.base_rng, step)
+        # Decorrelate dropout across shards: GSPMD partitions one global
+        # mask; here each device draws its own stream.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        accum = self.grad_accum_steps
+
+        def sum_loss_fn(p, st, mb, r):
+            out = self.apply_fn(p, st, mb, self.cfg, deterministic=False,
+                                rng=r, train=True, use_pallas=True)
+            return out["loss_sum"], (out["state"], out["loss_count"])
+
+        if accum == 1:
+            (ls, (new_state, lc)), grads = jax.value_and_grad(
+                sum_loss_fn, has_aux=True)(params, state, batch, rng)
+        else:
+            def micro(carry, mb):
+                g_acc, sum_acc, cnt_acc, st, i = carry
+                (mls, (st2, mlc)), g = jax.value_and_grad(
+                    sum_loss_fn, has_aux=True)(
+                        params, st, mb, jax.random.fold_in(rng, i))
+                g_acc = jax.tree.map(jnp.add, g_acc, g)
+                return (g_acc, sum_acc + mls, cnt_acc + mlc, st2, i + 1), None
+
+            micro_batches = jax.tree.map(
+                lambda x: x.reshape((accum, x.shape[0] // accum)
+                                    + x.shape[1:]), batch)
+            zero = jax.tree.map(jnp.zeros_like, params)
+            (grads, ls, lc, new_state, _), _ = jax.lax.scan(
+                micro, (zero, 0.0, 0.0, state, 0), micro_batches)
+
+        ls = jax.lax.psum(ls, "data")
+        lc = jax.lax.psum(lc, "data")
+        grads = jax.lax.psum(grads, "data")
+        denom = jnp.maximum(lc, 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        loss = ls / denom
+        if isinstance(new_state, dict) and "resnet" in new_state:
+            # BN running stats: average the per-shard updates. This
+            # approximates global-batch stats (the between-shard variance
+            # of means is lost) — the same approximation torch DDP makes,
+            # except DDP keeps rank-0's purely local stats.
+            new_state = dict(new_state)
+            new_state["resnet"] = jax.lax.pmean(new_state["resnet"], "data")
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    def _make_sharded_eval(self, with_loss: bool):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        rep, dat = P(), P("data")
+        out_specs = {"pred_idx": dat}
+        if with_loss:
+            out_specs["loss"] = rep
+
+        def shard_fn(params, state, batch, tables):
+            kwargs = {}
+            if tables is not None:
+                kwargs["inference_tables"] = tables
+            out = self.apply_fn(params, state, batch, self.cfg,
+                                deterministic=True, use_pallas=True,
+                                **kwargs)
+            res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
+            if with_loss:
+                ls = jax.lax.psum(out["loss_sum"], "data")
+                lc = jax.lax.psum(out["loss_count"], "data")
+                res["loss"] = ls / jnp.maximum(lc, 1.0)
+            return res
+
+        return jax.jit(shard_map(shard_fn, mesh=self.mesh,
+                                 in_specs=(rep, rep, dat, rep),
+                                 out_specs=out_specs, check_vma=False))
+
+    def _sharded_eval_dispatch(self, params, state, batch, tables=None):
+        # Labels: tgt_idx for CSC/pho-pretrain; res-pretrain's char_idx
+        # doubles as input and label, so its loss is always available.
+        with_loss = "tgt_idx" in batch or (self.pretrain
+                                           and "char_idx" in batch)
+        fn = self._sharded_eval_cache.get(with_loss)
+        if fn is None:
+            fn = self._make_sharded_eval(with_loss)
+            self._sharded_eval_cache[with_loss] = fn
+        return fn(params, state, batch, tables)
 
     # ------------------------------------------------------------------ api
     def _put_batch(self, device_batch: Dict[str, np.ndarray]):

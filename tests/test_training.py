@@ -256,3 +256,60 @@ def test_profiler_trace_writes_artifacts(tokenizer, tmp_path):
         tr.eval_step(batch)
     files = [os.path.join(r, f) for r, _, fs in os.walk(d) for f in fs]
     assert files, "profiler trace produced no artifacts"
+
+
+def test_pallas_shard_map_dp_matches_single_device(tokenizer):
+    """Pallas kernels on a data-only mesh run under shard_map with explicit
+    psum of loss sums/grads; with dropout off the update must equal the
+    single-device jnp trainer's exactly (the kernels compute the same math,
+    the psum replaces GSPMD's all-reduce)."""
+    cfg, params, state, batch = _setup(tokenizer)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    mesh = make_mesh({"data": 8})
+    tr_dp = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                    mesh=mesh, seed=3, use_pallas=True)
+    assert tr_dp._shard_pallas  # the shard_map path, not a fallback
+    tr_1 = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                   mesh=None, seed=3, use_pallas=False)
+    l_dp = float(tr_dp.train_step(batch))
+    l_1 = float(tr_1.train_step(batch))
+    np.testing.assert_allclose(l_dp, l_1, rtol=1e-5)
+    a = np.asarray(tr_dp.train_state.params["head"]["bias"])
+    b = np.asarray(tr_1.train_state.params["head"]["bias"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+    # Eval through the shard_map'd path too: same preds as meshless eval.
+    e_dp = tr_dp.eval_step(batch)
+    e_1 = tr_1.eval_step(batch)
+    np.testing.assert_array_equal(e_dp["pred_idx"], e_1["pred_idx"])
+    np.testing.assert_allclose(float(e_dp["loss"]), float(e_1["loss"]),
+                               rtol=1e-5)
+
+
+def test_pallas_shard_map_with_grad_accum(tokenizer):
+    """accum=2 microbatching inside the shard_map'd step still equals the
+    single-device full-batch update (global-count normalization)."""
+    cfg, params, state, batch = _setup(tokenizer)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    tr_dp = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                    mesh=mesh, seed=3, use_pallas=True, grad_accum_steps=2)
+    assert tr_dp._shard_pallas
+    tr_1 = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                   mesh=None, seed=3)
+    l_dp = float(tr_dp.train_step(batch))
+    l_1 = float(tr_1.train_step(batch))
+    np.testing.assert_allclose(l_dp, l_1, rtol=1e-5)
+    a = np.asarray(tr_dp.train_state.params["head"]["bias"])
+    b = np.asarray(tr_1.train_state.params["head"]["bias"])
+    np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_pallas_tp_mesh_falls_back_to_jnp(tokenizer):
+    """A tensor-parallel mesh cannot run the kernels (H is split); the
+    Trainer must fall back to the partitionable jnp path and still train."""
+    cfg, params, state, batch = _setup(tokenizer)
+    mesh = make_mesh({"data": 4, "model": 2})
+    tr = Trainer(cfg, params, state, learning_rate=1e-3, mesh=mesh,
+                 use_pallas=True)
+    assert not tr._shard_pallas and not tr.use_pallas
+    assert np.isfinite(float(tr.train_step(batch)))
