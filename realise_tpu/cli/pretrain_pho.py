@@ -19,6 +19,7 @@ import numpy as np
 
 from realise_tpu.cli.common import (
     add_common_args,
+    auto_use_pallas,
     build_config,
     build_mesh,
     build_tokenizer,
@@ -96,7 +97,7 @@ def main(argv=None):
                       warmup_steps=args.warmup_steps,
                       total_steps=max(args.max_steps, 1),
                       grad_accum_steps=args.gradient_accumulation_steps,
-                      mesh=mesh, use_pallas=args.use_pallas,
+                      mesh=mesh, use_pallas=auto_use_pallas(args.use_pallas),
                       pretrain=True, seed=args.seed)
 
     train_data = load_dataset(args, tokenizer, args.train_file,

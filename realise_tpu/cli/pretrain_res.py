@@ -19,6 +19,7 @@ import numpy as np
 
 from realise_tpu.cli.common import (
     add_common_args,
+    auto_use_pallas,
     build_config,
     build_glyphs,
     build_mesh,
@@ -74,7 +75,7 @@ def main(argv=None):
 
     trainer = Trainer(cfg, params, state, learning_rate=args.learning_rate,
                       warmup_steps=0, total_steps=max(total, 1), mesh=mesh,
-                      use_pallas=args.use_pallas, pretrain=True,
+                      use_pallas=auto_use_pallas(args.use_pallas), pretrain=True,
                       seed=args.seed)
 
     rng = np.random.default_rng(args.seed)

@@ -19,6 +19,7 @@ import jax
 
 from realise_tpu.cli.common import (
     add_common_args,
+    auto_use_pallas,
     build_config,
     build_glyphs,
     build_mesh,
@@ -172,7 +173,7 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
         grad_accum_steps=args.gradient_accumulation_steps,
         mesh=mesh,
-        use_pallas=args.use_pallas,
+        use_pallas=auto_use_pallas(args.use_pallas),
         seed=args.seed,
     )
 
