@@ -95,7 +95,8 @@ def compiled_flops(jitted, *args):
         return None
 
 
-def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
+def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
+                                batch_size: int = 1) -> float:
     """Dense-matmul FLOP count for one S-token sentence of the arch3 model.
 
     Per BERT layer (2·M·K·N per matmul): q/k/v/out 8SH², scores+ctx 4S²H,
@@ -115,8 +116,14 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
     per_layer = 8 * s * h * h + 4 * s * s * h + 4 * s * h * i
     fwd = layers * per_layer + 2 * s * h * v
     if not fast_path:
+        # Vocabulary factorization (models/realise.py): when B·S > V the
+        # GRU/conv streams run per VOCAB row, so the per-sentence share of
+        # their FLOPs shrinks by V/(B·S). Counting the smaller number keeps
+        # MFU honest — the factorized step must not get credit for work it
+        # skipped.
+        stream_scale = min(1.0, v / float(batch_size * s))
         # GRU: P steps × (input 2·H·3H + recurrent 2·H·3H) per token.
-        fwd += s * cfg.pho2_max_len * 12 * h * h
+        fwd += stream_scale * s * cfg.pho2_max_len * 12 * h * h
         # CharResNet: stride-2 basic blocks, 2 convs (+1×1 shortcut) each.
         from realise_tpu.ops.resnet import _channels
 
@@ -128,7 +135,7 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool) -> float:
             conv += 2 * 9 * ch * ch * sp * sp        # conv2
             conv += 2 * 1 * prev * ch * sp * sp      # 1×1 shortcut
             prev = ch
-        fwd += s * conv
+        fwd += stream_scale * s * conv
     return fwd * (3.0 if train else 1.0)
 
 
@@ -166,15 +173,16 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
                                use_traditional_font=cfg.use_traditional_font,
                                font_size=cfg.glyph_size)
     _log("initializing params (on host CPU, bulk transfer after)")
+    feat = Featurizer(tokenizer, cfg)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params, state = init_realise(jax.random.PRNGKey(0), cfg, glyphs=glyphs)
+        params, state = init_realise(jax.random.PRNGKey(0), cfg,
+                                     glyphs=glyphs,
+                                     pho_tables=feat.pho2_tables())
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
     state = jax.device_put(state, dev)
     _log("params on device")
-
-    feat = Featurizer(tokenizer, cfg)
     data = synthetic_dataset(tokenizer, num_examples=batch_size, min_len=20,
                              max_len=min(cfg.max_seq_length - 2, 100), seed=0)
     batch = {k: jax.numpy.asarray(v)
@@ -304,7 +312,7 @@ def main():
     ff_sec = time_fn(lambda: full_fwd(params, state, infer_batch),
                      iters=max(args.iters // 2, 3))
     ff_flops = bs * analytic_flops_per_sentence(cfg_full, fast_path=False,
-                                                train=False)
+                                                train=False, batch_size=bs)
     result["full_forward_sentences_per_sec"] = round(bs / ff_sec, 1)
     result["full_forward_mfu"] = round(ff_flops / ff_sec / peak, 3)
     _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms), "
@@ -335,7 +343,8 @@ def main():
                        ts.opt_state, dbatch, step_arr)
         train_flops = bs * analytic_flops_per_sentence(cfg_full,
                                                        fast_path=False,
-                                                       train=True)
+                                                       train=True,
+                                                       batch_size=bs)
 
         def one_step():
             t = trainer.train_state

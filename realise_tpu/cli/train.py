@@ -16,6 +16,7 @@ import argparse
 import os
 
 import jax
+import jax.numpy as jnp
 
 from realise_tpu.cli.common import (
     add_common_args,
@@ -132,14 +133,20 @@ def main(argv=None):
     mesh = build_mesh(args)
     glyphs = build_glyphs(args, tokenizer, cfg)
 
+    pho_tables = (featurizer.pho2_tables()
+                  if cfg.pho_encoder == "pho2" else None)
     params, state = init_realise(jax.random.PRNGKey(args.seed), cfg,
-                                 glyphs=glyphs)
+                                 glyphs=glyphs, pho_tables=pho_tables)
     if args.init_ckpt:
         restored = load_checkpoint(args.init_ckpt)
         params = restored["params"]
         state = {**restored["state"]}
         if glyphs is not None:
             state["char_images"] = state.get("char_images", glyphs)
+        if pho_tables is not None and "pho_vocab_idx" not in state:
+            # Older checkpoints predate the per-vocab GRU tables.
+            state["pho_vocab_idx"] = jnp.asarray(pho_tables[0], jnp.int32)
+            state["pho_vocab_lens"] = jnp.asarray(pho_tables[1], jnp.int32)
     if args.pho_ckpt or args.res_ckpt:
         pho = load_checkpoint(args.pho_ckpt) if args.pho_ckpt else None
         res = load_checkpoint(args.res_ckpt) if args.res_ckpt else None

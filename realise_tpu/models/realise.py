@@ -69,6 +69,7 @@ from realise_tpu.ops.layers import (
     init_layer_norm,
     layer_norm,
     site_rng,
+    table_gather,
 )
 from realise_tpu.ops.resnet import char_resnet, init_char_resnet
 
@@ -113,16 +114,27 @@ def apply_head(params, cfg: RealiseConfig, hidden: jax.Array,
 
 
 def init_realise(key, cfg: RealiseConfig,
-                 glyphs: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+                 glyphs: Optional[jax.Array] = None,
+                 pho_tables=None) -> Tuple[Dict, Dict]:
     """Build (params, state) for the configured model.
 
     ``glyphs``: optional (V, num_fonts, 32, 32) frozen glyph tensor; when
     absent a zero tensor placeholder is installed (fill via
     realise_tpu.text.glyphs.build_glyph_table).
+
+    ``pho_tables``: optional (vocab_pho_idx (V, P), vocab_pho_lens (V,))
+    from ``Featurizer.pho2_tables()`` — constant like the glyphs; installing
+    them lets apply_realise run the GRU per VOCAB row instead of per token
+    on large batches (vocabulary factorization; exact same function and
+    gradients, V instead of B·S scan rows).
     """
     keys = jax.random.split(key, 8)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
+    if pho_tables is not None and cfg.pho_encoder == "pho2":
+        idx, lens = pho_tables
+        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
+        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
 
     params["bert"] = init_bert_model(keys[0], cfg, cfg.num_hidden_layers)
 
@@ -187,26 +199,39 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
                  deterministic, rng, use_pallas,
                  pho_table: Optional[jax.Array] = None,
                  extra_embeds: Optional[jax.Array] = None,
-                 remat: bool = False) -> jax.Array:
+                 remat: bool = False, vocab_pho=None) -> jax.Array:
     """pinyin chars → GRU last hidden per token → pho BERT (B, S, H).
 
     ``extra_embeds``: raw features summed into the GRU hiddens *before* the
     pho BERT — the merged-fusion models feed raw resnet features here
     (src/models.py:487-489 SpellBertPho2Res: pho_hiddens + res_hiddens →
-    shared pho_res_model)."""
+    shared pho_res_model). ``vocab_pho``: optional (vocab_pho_idx (V, P),
+    vocab_pho_lens (V,)) enabling the per-vocab factorized scan."""
     b, s = batch["src_idx"].shape
     dtype = jnp.dtype(cfg.dtype)
+
+    def gru_feats(emb_params, gru_params, pho_idx, pho_lens):
+        emb = embed(emb_params, pho_idx, dtype=dtype)
+        return gru_last_hidden(gru_params, emb, pho_lens)
+
     if pho_table is not None:
         # Inference fast path: (V, H) precomputed GRU hiddens.
         gru_h = jnp.take(pho_table.astype(dtype), batch["src_idx"], axis=0)
+    elif vocab_pho is not None and b * s > vocab_pho[0].shape[0]:
+        # Vocabulary factorization (training + live eval): the GRU output
+        # depends only on the token id, so when the batch has more token
+        # slots than the vocabulary has entries, run the scan once per
+        # VOCAB row and gather per token — a strictly smaller scan
+        # (V < B·S), flat in batch size, and the gather's transpose
+        # (scatter-add of cotangents into the (V, H) table) makes the
+        # parameter gradients exactly equal to the per-token path's.
+        vp_idx, vp_lens = vocab_pho
+        table = gru_feats(params["embeddings"], params["gru"], vp_idx,
+                          vp_lens)
+        gru_h = table_gather(table, batch["src_idx"])
     else:
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)
-
-        def gru_feats(emb_params, gru_params, pho_idx, pho_lens):
-            emb = embed(emb_params, pho_idx, dtype=dtype)
-            return gru_last_hidden(gru_params, emb, pho_lens)
-
         if remat:
             # The GRU scan stashes per-step hiddens + gate activations for
             # backward — (P, B·S, H) each, ~2 GB at B=256/S=128/H=768.
@@ -245,7 +270,8 @@ def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
 
 def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
                 res_table: Optional[jax.Array] = None,
-                apply_ln: bool = True, remat: bool = False):
+                apply_ln: bool = True, remat: bool = False,
+                per_vocab: bool = False):
     """glyph gather → CharResNet → LN (src/models.py:829-838).
 
     ``apply_ln=False`` for merged-fusion models: SpellBertPho{1,2}Res have no
@@ -256,6 +282,26 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
     if res_table is not None:
         feats = jnp.take(res_table.astype(dtype), src_idx, axis=0)
         new_state = state["resnet"]
+    elif per_vocab:
+        # Vocabulary factorization: glyph features depend only on the token
+        # id, so when the batch has more token slots than vocab entries,
+        # convolve each VOCAB glyph once and gather per token (V < B·S
+        # conv rows, flat in batch size). BN batch statistics stay exactly
+        # the per-instance statistics by weighting each vocab row with its
+        # occurrence count (ops/resnet.py batch_norm weights) — including
+        # count 0 for absent chars — so this computes the identical
+        # function (and, through the gather transpose, identical
+        # gradients) to the per-token path below.
+        flat = src_idx.reshape(-1)
+        v = state["char_images"].shape[0]
+        counts = jnp.zeros((v,), jnp.float32).at[flat].add(1.0)
+        images = jnp.transpose(state["char_images"],
+                               (0, 2, 3, 1)).astype(dtype)
+        feats_v, new_state = char_resnet(
+            params["resnet"], state["resnet"], images, train=train,
+            variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
+            weights=counts if train else None)
+        feats = table_gather(feats_v, src_idx)
     else:
         flat = src_idx.reshape(-1)
 
@@ -361,6 +407,20 @@ def apply_realise(
     b_tokens = src_idx.shape[0] * src_idx.shape[1]
     pho_remat = train_mode
     res_remat = train_mode and b_tokens > 32768  # > B=256 at S=128
+    # Vocabulary factorization (see _pho2_stream/_res_stream): per-VOCAB
+    # GRU scan + conv stack instead of per-token, gathered by id — enabled
+    # when the vocab pinyin tables were installed in state (init_realise
+    # pho_tables) and the batch has more token slots than vocab entries.
+    vocab_pho = None
+    factorized = False
+    if "pho_vocab_idx" in state:
+        vocab_pho = (state["pho_vocab_idx"], state["pho_vocab_lens"])
+        factorized = b_tokens > state["pho_vocab_idx"].shape[0]
+        if factorized:
+            # The factorized scans run over V rows with tiny constant
+            # inputs; their stashes are batch-size-independent, so remat
+            # buys nothing.
+            pho_remat = False
 
     new_state = state
     res_h = None
@@ -368,7 +428,8 @@ def apply_realise(
         res_h, res_bn_state = _res_stream(params["res"], state, cfg, src_idx,
                                           train, res_table=tables.get("res"),
                                           apply_ln=not merged,
-                                          remat=res_remat)
+                                          remat=res_remat,
+                                          per_vocab=factorized)
         new_state = dict(state)
         new_state["resnet"] = res_bn_state
 
@@ -379,7 +440,7 @@ def apply_realise(
                                     deterministic, rng, use_pallas,
                                     pho_table=tables.get("pho"),
                                     extra_embeds=res_into_pho,
-                                    remat=pho_remat))
+                                    remat=pho_remat, vocab_pho=vocab_pho))
     elif cfg.pho_encoder == "pho1":
         streams.append(_pho1_stream(params["pho"], cfg, batch, attention_mask,
                                     deterministic, rng, use_pallas,

@@ -60,15 +60,33 @@ def init_bn(ch: int):
 
 
 def batch_norm(
-    params, state, x: jax.Array, train: bool
+    params, state, x: jax.Array, train: bool, weights=None
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """``weights``: optional (N,) per-row multiplicities. With weights, the
+    batch statistics are the *weighted* mean/variance — exactly the stats an
+    instance batch containing each row ``weights[n]`` times would produce.
+    This is what makes the per-vocab training path (models/realise.py) compute
+    the identical function to per-token conv: row v appearing c_v times
+    contributes c_v-fold to the stats, and rows with weight 0 contribute
+    nothing."""
     if train:
         x32 = x.astype(jnp.float32)
-        mean = x32.mean(axis=(0, 1, 2))
-        var = x32.var(axis=(0, 1, 2))
-        n = x.shape[0] * x.shape[1] * x.shape[2]
+        if weights is None:
+            mean = x32.mean(axis=(0, 1, 2))
+            var = x32.var(axis=(0, 1, 2))
+            n = x.shape[0] * x.shape[1] * x.shape[2]
+            unbiased_n = max(n - 1, 1)
+        else:
+            w = weights.astype(jnp.float32)
+            hw = x.shape[1] * x.shape[2]
+            tot = jnp.maximum(w.sum() * hw, 1.0)
+            wsum = lambda t: jnp.einsum("nhwc,n->c", t, w)
+            mean = wsum(x32) / tot
+            var = wsum(x32 * x32) / tot - mean * mean
+            n = tot
+            unbiased_n = jnp.maximum(tot - 1.0, 1.0)
         # torch tracks the *unbiased* variance in running stats.
-        unbiased = var * (n / max(n - 1, 1))
+        unbiased = var * (n / unbiased_n)
         new_state = {
             "mean": (1 - BN_MOMENTUM) * state["mean"] + BN_MOMENTUM * mean,
             "var": (1 - BN_MOMENTUM) * state["var"] + BN_MOMENTUM * unbiased,
@@ -101,15 +119,19 @@ def init_basic_block(key, in_ch: int, out_ch: int, stride: int):
     return params, state
 
 
-def basic_block(params, state, x: jax.Array, stride: int, train: bool):
-    h, s1 = batch_norm(params["bn1"], state["bn1"], conv2d(params["conv1"], x, stride), train)
+def basic_block(params, state, x: jax.Array, stride: int, train: bool,
+                weights=None):
+    h, s1 = batch_norm(params["bn1"], state["bn1"],
+                       conv2d(params["conv1"], x, stride), train, weights)
     h = jax.nn.relu(h)
-    h, s2 = batch_norm(params["bn2"], state["bn2"], conv2d(params["conv2"], h, 1), train)
+    h, s2 = batch_norm(params["bn2"], state["bn2"],
+                       conv2d(params["conv2"], h, 1), train, weights)
     new_state = {"bn1": s1, "bn2": s2}
     if "shortcut_conv" in params:
         sc, s3 = batch_norm(
             params["shortcut_bn"], state["shortcut_bn"],
-            conv2d(params["shortcut_conv"], x, stride, padding=0), train)
+            conv2d(params["shortcut_conv"], x, stride, padding=0), train,
+            weights)
         new_state["shortcut_bn"] = s3
     else:
         sc = x
@@ -148,19 +170,21 @@ def init_char_resnet(key, in_channels: int, variant: str = "resnet",
 
 def char_resnet(
     params, state, x: jax.Array, train: bool = False, variant: str = "resnet",
-    hidden_size: int = 768,
+    hidden_size: int = 768, weights=None,
 ) -> Tuple[jax.Array, Dict]:
     """(N, 32, 32, F) glyphs → (N, hidden) features (+ updated BN state).
 
     CharResNet ends at 1×1 spatial (squeeze); CharResNet1 ends at 2×2×H/4 and
-    flattens (src/char_cnn.py:54,73).
+    flattens (src/char_cnn.py:54,73). ``weights``: per-row multiplicities for
+    the BN batch statistics (see :func:`batch_norm`).
     """
     chans = _channels(variant, hidden_size)
     new_state = {}
     h = x
     for i in range(len(chans)):
         name = f"block{i + 1}"
-        h, s = basic_block(params[name], state[name], h, stride=2, train=train)
+        h, s = basic_block(params[name], state[name], h, stride=2,
+                           train=train, weights=weights)
         new_state[name] = s
     n = h.shape[0]
     if variant == "resnet1":

@@ -167,3 +167,64 @@ def test_bfloat16_forward(featurized):
             params, state, batch)
     assert out.dtype == jnp.bfloat16
     assert bool(jnp.isfinite(out.astype(jnp.float32)).all())
+
+
+def test_vocab_factorized_streams_match_per_token():
+    """Vocabulary factorization (per-VOCAB GRU scan + conv stack with
+    occurrence-weighted BN, gathered per token) must compute the identical
+    loss, gradients, and BN state updates to the per-token path — it is the
+    same function, reparametrized over unique inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import apply_realise, init_realise
+    from realise_tpu.text.tokenizer import WordPieceTokenizer
+    from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
+
+    # Tiny vocabulary so that B·S > V triggers the factorized branch.
+    vocab = build_synthetic_vocab(size=96)
+    tok = WordPieceTokenizer(vocab_to_dict(vocab))
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tok),
+                     hidden_size=24, num_hidden_layers=1,
+                     num_attention_heads=2, intermediate_size=48,
+                     pho_num_layers=1, out_num_layers=1, max_seq_length=16,
+                     max_position_embeddings=32, num_fonts=2,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    feat = Featurizer(tok, cfg)
+    data = synthetic_dataset(tok, num_examples=8, min_len=10, max_len=14,
+                             seed=0)
+    batch = {k: jnp.asarray(v)
+             for k, v in feat.device_batch(feat.featurize(data)).items()}
+    assert batch["src_idx"].size > len(tok)  # factorization profitable
+
+    params, state_fac = init_realise(jax.random.PRNGKey(0), cfg,
+                                     pho_tables=feat.pho2_tables())
+    assert "pho_vocab_idx" in state_fac
+    state_tok = {k: v for k, v in state_fac.items()
+                 if k not in ("pho_vocab_idx", "pho_vocab_lens")}
+
+    def loss(params, state):
+        out = apply_realise(params, state, batch, cfg, deterministic=False,
+                            rng=jax.random.PRNGKey(1), train=True)
+        return out["loss"], out["state"]
+
+    (l_fac, s_fac), g_fac = jax.value_and_grad(loss, has_aux=True)(
+        params, state_fac)
+    (l_tok, s_tok), g_tok = jax.value_and_grad(loss, has_aux=True)(
+        params, state_tok)
+    np.testing.assert_allclose(float(l_fac), float(l_tok), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g_fac, g_tok)
+    # Weighted BN stats == instance BN stats.
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        s_fac["resnet"], s_tok["resnet"])
+    # Deterministic eval (no tables) agrees too.
+    e_fac = apply_realise(params, state_fac, batch, cfg)
+    e_tok = apply_realise(params, state_tok, batch, cfg)
+    np.testing.assert_allclose(np.asarray(e_fac["logits"]),
+                               np.asarray(e_tok["logits"]), atol=1e-5)
