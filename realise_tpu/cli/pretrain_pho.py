@@ -87,7 +87,8 @@ def main(argv=None):
     featurizer = Featurizer(tokenizer, cfg)
     mesh = build_mesh(args)
 
-    params, state = init_pretrain(jax.random.PRNGKey(args.seed), cfg)
+    params, state = init_pretrain(jax.random.PRNGKey(args.seed), cfg,
+                                  pho_tables=featurizer.pho2_tables())
     batch_size = args.per_device_train_batch_size
     if mesh is not None and "data" in mesh.axis_names:
         batch_size *= mesh.shape["data"]

@@ -406,7 +406,6 @@ def apply_realise(
     train_mode = use_pallas and not deterministic
     b_tokens = src_idx.shape[0] * src_idx.shape[1]
     pho_remat = train_mode
-    res_remat = train_mode and b_tokens > 32768  # > B=256 at S=128
     # Vocabulary factorization (see _pho2_stream/_res_stream): per-VOCAB
     # GRU scan + conv stack instead of per-token, gathered by id — enabled
     # when the vocab pinyin tables were installed in state (init_realise
@@ -421,6 +420,11 @@ def apply_realise(
             # inputs; their stashes are batch-size-independent, so remat
             # buys nothing.
             pho_remat = False
+    # Unfactorized conv stash is ~1 GB per 32768 token slots — fits v5e
+    # HBM at the bench batch (B=256, S=128) once the GRU is handled, and
+    # storing it beats remating by ~7%; past that it must remat. The
+    # factorized conv stash scales with V, not B — never remat it.
+    res_remat = train_mode and not factorized and b_tokens > 32768
 
     new_state = state
     res_h = None
@@ -561,12 +565,18 @@ def precompute_inference_tables(
 # Pretraining objectives
 # ==========================================================================
 def init_pretrain(key, cfg: RealiseConfig,
-                  glyphs: Optional[jax.Array] = None) -> Tuple[Dict, Dict]:
+                  glyphs: Optional[jax.Array] = None,
+                  pho_tables=None) -> Tuple[Dict, Dict]:
     """Params/state for the pho2 / res / pho2-res pretraining stages
-    (src/models.py:1286-1347, 1349-1488, 1174-1284)."""
+    (src/models.py:1286-1347, 1349-1488, 1174-1284). ``pho_tables`` as in
+    :func:`init_realise` (enables the vocabulary-factorized GRU)."""
     keys = jax.random.split(key, 6)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
+    if pho_tables is not None and cfg.pho_encoder == "pho2":
+        idx, lens = pho_tables
+        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
+        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
     if cfg.pho_encoder == "pho2":
         k_emb, k_gru = jax.random.split(keys[0])
         params["pho"] = {
@@ -643,19 +653,43 @@ def apply_pretrain(
     # pho2-pretrain / pho2-res-pretrain operate on full sequences.
     b, s = batch["src_idx"].shape
     attention_mask = batch["masks"]
-    pho_idx = batch["pho_idx"].reshape(b * s, -1)
-    pho_lens = batch["pho_lens"].reshape(b * s)
-    emb = embed(params["pho"]["embeddings"], pho_idx, dtype=dtype)
-    gru_h = gru_last_hidden(params["pho"]["gru"], emb, pho_lens)
-    hidden = gru_h.reshape(b, s, cfg.hidden_size)
+    factorized = ("pho_vocab_idx" in state
+                  and b * s > state["pho_vocab_idx"].shape[0])
+    if factorized:
+        # Vocabulary factorization, as in the fine-tune streams: per-VOCAB
+        # GRU scan gathered per token (exactly equal function/gradients).
+        emb = embed(params["pho"]["embeddings"], state["pho_vocab_idx"],
+                    dtype=dtype)
+        table = gru_last_hidden(params["pho"]["gru"], emb,
+                                state["pho_vocab_lens"])
+        hidden = table_gather(table, batch["src_idx"])
+    else:
+        pho_idx = batch["pho_idx"].reshape(b * s, -1)
+        pho_lens = batch["pho_lens"].reshape(b * s)
+        emb = embed(params["pho"]["embeddings"], pho_idx, dtype=dtype)
+        gru_h = gru_last_hidden(params["pho"]["gru"], emb, pho_lens)
+        hidden = gru_h.reshape(b, s, cfg.hidden_size)
 
     if cfg.with_res:
         flat = batch["src_idx"].reshape(-1)
-        images = jnp.take(state["char_images"], flat, axis=0)
-        images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
-        feats, res_bn = char_resnet(params["res"]["resnet"], state["resnet"],
-                                    images, train=train, variant=cfg.res_encoder,
-                                       hidden_size=cfg.hidden_size)
+        if factorized:
+            v = state["char_images"].shape[0]
+            counts = jnp.zeros((v,), jnp.float32).at[flat].add(1.0)
+            images = jnp.transpose(state["char_images"],
+                                   (0, 2, 3, 1)).astype(dtype)
+            feats_v, res_bn = char_resnet(
+                params["res"]["resnet"], state["resnet"], images,
+                train=train, variant=cfg.res_encoder,
+                hidden_size=cfg.hidden_size,
+                weights=counts if train else None)
+            feats = table_gather(feats_v, batch["src_idx"]).reshape(b * s, -1)
+        else:
+            images = jnp.take(state["char_images"], flat, axis=0)
+            images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
+            feats, res_bn = char_resnet(
+                params["res"]["resnet"], state["resnet"], images,
+                train=train, variant=cfg.res_encoder,
+                hidden_size=cfg.hidden_size)
         new_state = dict(state)
         new_state["resnet"] = res_bn
         feats = feats.reshape(b, s, cfg.hidden_size)

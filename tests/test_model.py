@@ -228,3 +228,46 @@ def test_vocab_factorized_streams_match_per_token():
     e_tok = apply_realise(params, state_tok, batch, cfg)
     np.testing.assert_allclose(np.asarray(e_fac["logits"]),
                                np.asarray(e_tok["logits"]), atol=1e-5)
+
+
+def test_vocab_factorized_pretrain_matches_per_token():
+    """Same equivalence for the pho2-pretrain objective."""
+    import jax
+    import jax.numpy as jnp
+
+    from realise_tpu.config import config_for
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import apply_pretrain, init_pretrain
+    from realise_tpu.text.tokenizer import WordPieceTokenizer
+    from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
+
+    vocab = build_synthetic_vocab(size=96)
+    tok = WordPieceTokenizer(vocab_to_dict(vocab))
+    cfg = config_for("pho2-pretrain", vocab_size=len(tok), hidden_size=24,
+                     num_attention_heads=2, intermediate_size=48,
+                     pho_num_layers=1, max_seq_length=16,
+                     max_position_embeddings=32,
+                     hidden_dropout_prob=0.0,
+                     attention_probs_dropout_prob=0.0)
+    feat = Featurizer(tok, cfg)
+    from realise_tpu.data.dataset import synthetic_dataset
+    data = synthetic_dataset(tok, num_examples=8, min_len=10, max_len=14,
+                             seed=0)
+    batch = {k: jnp.asarray(v) for k, v in feat.device_batch(
+        feat.featurize_pho_pretrain(data)).items()}
+    params, state_fac = init_pretrain(jax.random.PRNGKey(0), cfg,
+                                      pho_tables=feat.pho2_tables())
+    assert "pho_vocab_idx" in state_fac
+    state_tok = {k: v for k, v in state_fac.items()
+                 if k not in ("pho_vocab_idx", "pho_vocab_lens")}
+
+    def loss(params, state):
+        out = apply_pretrain(params, state, batch, cfg, deterministic=False,
+                             rng=jax.random.PRNGKey(1), train=True)
+        return out["loss"]
+
+    l_fac, g_fac = jax.value_and_grad(loss)(params, state_fac)
+    l_tok, g_tok = jax.value_and_grad(loss)(params, state_tok)
+    np.testing.assert_allclose(float(l_fac), float(l_tok), rtol=1e-6)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=1e-5), g_fac, g_tok)
