@@ -195,6 +195,40 @@ def tie_cls_weight_noop():
 # ==========================================================================
 # Streams
 # ==========================================================================
+def _factorized_gru(pho_params, vocab_pho, src_idx, dtype):
+    """Vocabulary-factorized GRU: scan once per VOCAB row, gather per token.
+
+    The GRU output depends only on the token id, so when the batch has more
+    token slots than the vocabulary has entries this is a strictly smaller
+    scan (V < B·S), flat in batch size; the gather's matmul transpose
+    (ops/layers.py table_gather) accumulates the cotangents into the (V, H)
+    table, making parameter gradients exactly equal to the per-token path.
+    Shared by the fine-tune pho2 stream and the pho2-pretrain objective."""
+    vp_idx, vp_lens = vocab_pho
+    emb = embed(pho_params["embeddings"], vp_idx, dtype=dtype)
+    table = gru_last_hidden(pho_params["gru"], emb, vp_lens)
+    return table_gather(table, src_idx)
+
+
+def _factorized_conv(resnet_params, state, src_idx, train,
+                     cfg: RealiseConfig, dtype):
+    """Vocabulary-factorized CharResNet: convolve each VOCAB glyph once and
+    gather per token (V < B·S conv rows). BN batch statistics stay exactly
+    the per-instance statistics by weighting each vocab row with its
+    occurrence count (ops/resnet.py batch_norm weights) — including count 0
+    for absent chars — so this computes the identical function (and,
+    through the gather transpose, identical gradients) to the per-token
+    conv. Returns ((B, S, H) features, new BN state)."""
+    v = state["char_images"].shape[0]
+    counts = jnp.zeros((v,), jnp.float32).at[src_idx.reshape(-1)].add(1.0)
+    images = jnp.transpose(state["char_images"], (0, 2, 3, 1)).astype(dtype)
+    feats_v, new_bn = char_resnet(
+        resnet_params, state["resnet"], images, train=train,
+        variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
+        weights=counts if train else None)
+    return table_gather(feats_v, src_idx), new_bn
+
+
 def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
                  deterministic, rng, use_pallas,
                  pho_table: Optional[jax.Array] = None,
@@ -218,17 +252,7 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
         # Inference fast path: (V, H) precomputed GRU hiddens.
         gru_h = jnp.take(pho_table.astype(dtype), batch["src_idx"], axis=0)
     elif vocab_pho is not None and b * s > vocab_pho[0].shape[0]:
-        # Vocabulary factorization (training + live eval): the GRU output
-        # depends only on the token id, so when the batch has more token
-        # slots than the vocabulary has entries, run the scan once per
-        # VOCAB row and gather per token — a strictly smaller scan
-        # (V < B·S), flat in batch size, and the gather's transpose
-        # (scatter-add of cotangents into the (V, H) table) makes the
-        # parameter gradients exactly equal to the per-token path's.
-        vp_idx, vp_lens = vocab_pho
-        table = gru_feats(params["embeddings"], params["gru"], vp_idx,
-                          vp_lens)
-        gru_h = table_gather(table, batch["src_idx"])
+        gru_h = _factorized_gru(params, vocab_pho, batch["src_idx"], dtype)
     else:
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)
@@ -283,25 +307,8 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
         feats = jnp.take(res_table.astype(dtype), src_idx, axis=0)
         new_state = state["resnet"]
     elif per_vocab:
-        # Vocabulary factorization: glyph features depend only on the token
-        # id, so when the batch has more token slots than vocab entries,
-        # convolve each VOCAB glyph once and gather per token (V < B·S
-        # conv rows, flat in batch size). BN batch statistics stay exactly
-        # the per-instance statistics by weighting each vocab row with its
-        # occurrence count (ops/resnet.py batch_norm weights) — including
-        # count 0 for absent chars — so this computes the identical
-        # function (and, through the gather transpose, identical
-        # gradients) to the per-token path below.
-        flat = src_idx.reshape(-1)
-        v = state["char_images"].shape[0]
-        counts = jnp.zeros((v,), jnp.float32).at[flat].add(1.0)
-        images = jnp.transpose(state["char_images"],
-                               (0, 2, 3, 1)).astype(dtype)
-        feats_v, new_state = char_resnet(
-            params["resnet"], state["resnet"], images, train=train,
-            variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
-            weights=counts if train else None)
-        feats = table_gather(feats_v, src_idx)
+        feats, new_state = _factorized_conv(params["resnet"], state,
+                                            src_idx, train, cfg, dtype)
     else:
         flat = src_idx.reshape(-1)
 
@@ -656,13 +663,10 @@ def apply_pretrain(
     factorized = ("pho_vocab_idx" in state
                   and b * s > state["pho_vocab_idx"].shape[0])
     if factorized:
-        # Vocabulary factorization, as in the fine-tune streams: per-VOCAB
-        # GRU scan gathered per token (exactly equal function/gradients).
-        emb = embed(params["pho"]["embeddings"], state["pho_vocab_idx"],
-                    dtype=dtype)
-        table = gru_last_hidden(params["pho"]["gru"], emb,
-                                state["pho_vocab_lens"])
-        hidden = table_gather(table, batch["src_idx"])
+        # Vocabulary factorization, as in the fine-tune streams.
+        hidden = _factorized_gru(
+            params["pho"], (state["pho_vocab_idx"], state["pho_vocab_lens"]),
+            batch["src_idx"], dtype)
     else:
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)
@@ -671,19 +675,12 @@ def apply_pretrain(
         hidden = gru_h.reshape(b, s, cfg.hidden_size)
 
     if cfg.with_res:
-        flat = batch["src_idx"].reshape(-1)
         if factorized:
-            v = state["char_images"].shape[0]
-            counts = jnp.zeros((v,), jnp.float32).at[flat].add(1.0)
-            images = jnp.transpose(state["char_images"],
-                                   (0, 2, 3, 1)).astype(dtype)
-            feats_v, res_bn = char_resnet(
-                params["res"]["resnet"], state["resnet"], images,
-                train=train, variant=cfg.res_encoder,
-                hidden_size=cfg.hidden_size,
-                weights=counts if train else None)
-            feats = table_gather(feats_v, batch["src_idx"]).reshape(b * s, -1)
+            feats, res_bn = _factorized_conv(params["res"]["resnet"], state,
+                                             batch["src_idx"], train, cfg,
+                                             dtype)
         else:
+            flat = batch["src_idx"].reshape(-1)
             images = jnp.take(state["char_images"], flat, axis=0)
             images = jnp.transpose(images, (0, 2, 3, 1)).astype(dtype)
             feats, res_bn = char_resnet(

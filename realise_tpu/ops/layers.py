@@ -13,6 +13,7 @@ loss scaling needed, unlike the reference's apex AMP path, run.py:155-161).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
 
 import jax
@@ -92,10 +93,7 @@ def table_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
                          (table.shape[0], jnp.dtype(table.dtype).name))
 
 
-from functools import partial as _partial  # noqa: E402
-
-
-@_partial(jax.custom_vjp, nondiff_argnums=(2,))
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
 def _table_gather(table, ids, meta):
     return jnp.take(table, ids, axis=0)
 
@@ -136,9 +134,7 @@ def _table_gather_bwd(meta, ids, ct):
         g, _ = jax.lax.scan(
             body, jnp.zeros((v, h), jnp.float32),
             (flat_ids.reshape(k, chunk), ct2.reshape(k, chunk, h)))
-    import numpy as _np
-
-    return g.astype(tdt), _np.zeros(ids.shape, dtype=jax.dtypes.float0)
+    return g.astype(tdt), np.zeros(ids.shape, dtype=jax.dtypes.float0)
 
 
 _table_gather.defvjp(_table_gather_fwd, _table_gather_bwd)

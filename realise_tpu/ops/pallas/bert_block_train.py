@@ -396,7 +396,9 @@ def attention_block_train(x, attn_params, bias, seed, num_heads,
 
     x: (B, S, H); seed: (1,) int32 controlling the dropout streams
     (p_rate = attention-probs rate, h_rate = hidden/output rate). Matches
-    ops/bert.py:_self_attention up to the dropout bit-stream.
+    ops/bert.py:_self_attention up to the dropout bit-stream. ``bias`` is
+    treated as non-differentiable attention-mask data — its cotangent is
+    defined as zero (do not feed a *learned* bias through it).
     """
     if interpret is None:
         interpret = _default_interpret()
@@ -445,17 +447,37 @@ def _ffn_splits(hdim: int, isz: int, itemsize: int) -> int:
     plumbable through this runtime's fixed terminal flags."""
     per_col_bytes = 2 * hdim * (itemsize + 4)  # w1_j+w2_j, dw1_j+dw2_j
     budget = 12 * 1024 * 1024
-    for n in (1, 2, 3, 4, 6, 8):
-        if isz % n == 0 and per_col_bytes * (isz // n) <= budget:
+    best = None
+    for n in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+        if isz % n == 0:
+            best = n
+            if per_col_bytes * (isz // n) <= budget:
+                return n
+    if best is None:
+        raise ValueError(
+            f"intermediate_size {isz} has no split count in 1..32 that "
+            f"divides it — the fused FFN train kernels require one")
+    return best  # largest divisor found; slices always cover all columns
+
+
+def _ffn_fwd_splits(hdim: int, isz: int, itemsize: int) -> int:
+    """Forward-only split count: no f32 weight-grad accumulators exist in
+    the forward kernel, so the budget is the two weight matrices alone
+    (ffn_block's rule) — at H=768/I=3072 bf16 this is n=1, keeping W1/W2
+    VMEM-resident across the batch grid instead of re-streaming ~9.4 MB
+    per example (measured: the fwd kernel was bandwidth-bound on weight
+    re-fetch when it reused the backward's 3-way split)."""
+    for n in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
+        if isz % n == 0 and 2 * hdim * itemsize * (isz // n) <= 12 * 2**20:
             return n
-    return 8
+    return _ffn_splits(hdim, isz, itemsize)
 
 
 def _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret):
     b, s, hdim = x.shape
     isz_total = ffn_params["intermediate"]["kernel"].shape[1]
     dtype = x.dtype
-    n_splits = _ffn_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
+    n_splits = _ffn_fwd_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
     isz = isz_total // n_splits
     w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
     w2 = ffn_params["output"]["kernel"].astype(dtype)

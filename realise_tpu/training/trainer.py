@@ -137,48 +137,48 @@ class Trainer:
             self._eval_step = jax.jit(self._eval_step_impl)
 
     # ------------------------------------------------------------------ steps
-    def _loss_fn(self, params, state, batch, rng):
-        out = self.apply_fn(params, state, batch, self.cfg,
-                            deterministic=False, rng=rng, train=True,
-                            use_pallas=self.use_pallas)
-        return out["loss"], out["state"]
+    def _accumulate(self, params, state, batch, rng, use_pallas):
+        """(grads of the loss SUM, loss_sum, loss_count, new_state).
+
+        Always works in unnormalized loss *sums* + valid-token counts —
+        normalized once by the caller — so the microbatch scan is exactly
+        equal to the full-batch gradient even with ragged lengths (the
+        reference averages per-microbatch means, run.py:193-194, which is
+        not), and the shard_map path can psum the same quantities for the
+        exact global-batch gradient."""
+        def sum_loss_fn(p, st, mb, r):
+            out = self.apply_fn(p, st, mb, self.cfg, deterministic=False,
+                                rng=r, train=True, use_pallas=use_pallas)
+            return out["loss_sum"], (out["state"], out["loss_count"])
+
+        vg = jax.value_and_grad(sum_loss_fn, has_aux=True)
+        accum = self.grad_accum_steps
+        if accum == 1:
+            (ls, (new_state, lc)), grads = vg(params, state, batch, rng)
+            return grads, ls, lc, new_state
+
+        def micro(carry, mb):
+            g_acc, sum_acc, cnt_acc, st, i = carry
+            (mls, (st2, mlc)), g = vg(params, st, mb,
+                                      jax.random.fold_in(rng, i))
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, sum_acc + mls, cnt_acc + mlc, st2, i + 1), None
+
+        micro_batches = jax.tree.map(
+            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
+            batch)
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (grads, ls, lc, new_state, _), _ = jax.lax.scan(
+            micro, (zero, 0.0, 0.0, state, 0), micro_batches)
+        return grads, ls, lc, new_state
 
     def _train_step_impl(self, params, state, opt_state, batch, step):
         rng = jax.random.fold_in(self.base_rng, step)
-        accum = self.grad_accum_steps
-
-        if accum == 1:
-            (loss, new_state), grads = jax.value_and_grad(
-                self._loss_fn, has_aux=True)(params, state, batch, rng)
-        else:
-            # Microbatch scan over unnormalized loss *sums*, normalized once
-            # by the global valid-token count — exactly equal to the
-            # full-batch gradient even with ragged lengths (the reference
-            # averages per-microbatch means, run.py:193-194, which is not).
-            def sum_loss_fn(p, st, mb, r):
-                out = self.apply_fn(p, st, mb, self.cfg, deterministic=False,
-                                    rng=r, train=True,
-                                    use_pallas=self.use_pallas)
-                return out["loss_sum"], (out["state"], out["loss_count"])
-
-            def micro(carry, mb):
-                g_acc, sum_acc, cnt_acc, st, i = carry
-                (ls, (st2, lc)), g = jax.value_and_grad(
-                    sum_loss_fn, has_aux=True)(
-                        params, st, mb, jax.random.fold_in(rng, i))
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, sum_acc + ls, cnt_acc + lc, st2, i + 1), None
-
-            micro_batches = jax.tree.map(
-                lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
-                batch)
-            zero = jax.tree.map(jnp.zeros_like, params)
-            (grads, loss_sum, loss_cnt, new_state, _), _ = jax.lax.scan(
-                micro, (zero, 0.0, 0.0, state, 0), micro_batches)
-            denom = jnp.maximum(loss_cnt, 1.0)
-            grads = jax.tree.map(lambda g: g / denom, grads)
-            loss = loss_sum / denom
-
+        grads, ls, lc, new_state = self._accumulate(params, state, batch,
+                                                    rng, self.use_pallas)
+        denom = jnp.maximum(lc, 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        loss = ls / denom
         updates, opt_state = self.tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, new_state, opt_state, loss
@@ -208,32 +208,8 @@ class Trainer:
         # Decorrelate dropout across shards: GSPMD partitions one global
         # mask; here each device draws its own stream.
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        accum = self.grad_accum_steps
-
-        def sum_loss_fn(p, st, mb, r):
-            out = self.apply_fn(p, st, mb, self.cfg, deterministic=False,
-                                rng=r, train=True, use_pallas=True)
-            return out["loss_sum"], (out["state"], out["loss_count"])
-
-        if accum == 1:
-            (ls, (new_state, lc)), grads = jax.value_and_grad(
-                sum_loss_fn, has_aux=True)(params, state, batch, rng)
-        else:
-            def micro(carry, mb):
-                g_acc, sum_acc, cnt_acc, st, i = carry
-                (mls, (st2, mlc)), g = jax.value_and_grad(
-                    sum_loss_fn, has_aux=True)(
-                        params, st, mb, jax.random.fold_in(rng, i))
-                g_acc = jax.tree.map(jnp.add, g_acc, g)
-                return (g_acc, sum_acc + mls, cnt_acc + mlc, st2, i + 1), None
-
-            micro_batches = jax.tree.map(
-                lambda x: x.reshape((accum, x.shape[0] // accum)
-                                    + x.shape[1:]), batch)
-            zero = jax.tree.map(jnp.zeros_like, params)
-            (grads, ls, lc, new_state, _), _ = jax.lax.scan(
-                micro, (zero, 0.0, 0.0, state, 0), micro_batches)
-
+        grads, ls, lc, new_state = self._accumulate(params, state, batch,
+                                                    rng, use_pallas=True)
         ls = jax.lax.psum(ls, "data")
         lc = jax.lax.psum(lc, "data")
         grads = jax.lax.psum(grads, "data")
