@@ -226,14 +226,17 @@ def evaluate_model(
 
     for examples in batch_iterator(dataset, batch_size, pad_final=False):
         n = len(examples)
-        host_batch = featurizer.featurize(pad_examples(examples, batch_size))
+        padded = pad_examples(examples, batch_size)
         if process_count() > 1:
-            # Multi-host: featurize only this process slice; the
-            # trainer reassembles the global batch and eval_step gathers
-            # the global predictions back to every host.
-            feed = featurizer.featurize(
-                local_slice(pad_examples(examples, batch_size)))
+            # Multi-host: the device feed featurizes only this process
+            # slice (the trainer reassembles the global batch and
+            # eval_step gathers the global predictions back to every
+            # host); the host copy skips the phonetic gathers — it only
+            # carries metric bookkeeping fields.
+            host_batch = featurizer.featurize(padded, with_pho=False)
+            feed = featurizer.featurize(local_slice(padded))
         else:
+            host_batch = featurizer.featurize(padded)
             feed = host_batch
         out = trainer.eval_step(featurizer.device_batch(feed))
         host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]

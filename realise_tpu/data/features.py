@@ -101,13 +101,18 @@ class Featurizer:
     # ---- batch assembly ---------------------------------------------------
     def featurize(self, examples: Sequence[Dict],
                   with_labels: bool = True,
-                  seq_len: Optional[int] = None) -> Dict:
+                  seq_len: Optional[int] = None,
+                  with_pho: bool = True) -> Dict:
         """Examples → fixed-shape arrays + passthrough fields.
 
         ``seq_len`` overrides the padded length (length-bucketed batching:
         a handful of tile-friendly shapes instead of always padding to the
         global max — the static-shape counterpart of the reference's
-        sort-by-length batching, data_process/dataset.py:106-175)."""
+        sort-by-length batching, data_process/dataset.py:106-175).
+
+        ``with_pho=False`` skips the (B, S, P) phonetic table gathers —
+        for host-side metric bookkeeping copies that never feed the model
+        (multi-host evaluate featurizes the device slice separately)."""
         cfg = self.cfg
         s = seq_len or cfg.max_seq_length
         b = len(examples)
@@ -139,6 +144,8 @@ class Featurizer:
         if with_labels:
             batch["tgt_idx"] = tgt_idx
 
+        if not with_pho:
+            return batch
         if cfg.pho_encoder == "pho2":
             table, lens = self.pho2_tables()
             batch["pho_idx"] = table[src_idx]        # (B, S, P) gather

@@ -602,8 +602,6 @@ def init_pretrain(key, cfg: RealiseConfig,
             glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
                                 cfg.glyph_size, cfg.glyph_size), jnp.float32)
         state["char_images"] = jnp.asarray(glyphs, jnp.float32)
-        if cfg.pho_encoder == "pho2":
-            params["res"]["layer_norm"] = init_layer_norm(cfg.hidden_size)
     params["head"] = init_head(keys[3], cfg)
     return params, state
 
@@ -690,8 +688,9 @@ def apply_pretrain(
         new_state = dict(state)
         new_state["resnet"] = res_bn
         feats = feats.reshape(b, s, cfg.hidden_size)
-        feats = layer_norm(params["res"]["layer_norm"], feats,
-                           cfg.layer_norm_eps)
+        # RAW sum, no LayerNorm — Pho2ResPretrain adds the conv features
+        # directly to the GRU hiddens (src/models.py:1269-1275); the
+        # resnet_layernorm exists only in the arch2/3/4 fine-tune models.
         hidden = hidden + feats
 
     seq = bert_model(params["pho"]["model"], cfg, inputs_embeds=hidden,

@@ -26,6 +26,20 @@ Key-mapping notes (torch name → pytree path):
 * ``char_images_multifonts`` → ``state['char_images']``,
 * the tied ``classifier.weight`` is dropped (tying is structural here);
   ``classifier.bias`` → ``head['bias']``.
+
+Coverage spans the whole reference zoo's naming surface:
+
+* the shared merged-stream BERT ``pho_res_model.*`` (SpellBertPho{1,2}Res,
+  src/models.py:265,404 and Pho2ResPretrain, src/models.py:1194) maps to the
+  same ``params['pho']['model']`` slot as ``pho_model.*``,
+* the pretrain MLM head ``cls2.predictions.*`` (src/models.py:1198,1305) and
+  the arch3-MLM head ``cls.predictions.*`` (src/models.py:912) both map to
+  the ``head`` subtree; ResPretrain's ``cls3`` linear (src/models.py:1371)
+  maps to ``head['classifier']``,
+* merge.py's ``sec_version`` rename ``resnet.`` → ``char_resent.``
+  (merge.py:10-15) is normalized back on load,
+* pho1 models (no GRU; one 65-symbol embedding summed three ways,
+  src/models.py:82,131-137) import their ``pho_embeddings`` + ``pho_model``.
 """
 
 from __future__ import annotations
@@ -165,22 +179,79 @@ def import_char_resnet(sd: Mapping[str, np.ndarray], prefix: str,
     return params, state
 
 
+def normalize_state_dict(sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Canonicalize torch key spellings before mapping.
+
+    * strips DDP's ``module.`` wrapper prefix,
+    * undoes merge.py's ``sec_version`` rename ``resnet.`` → ``char_resent.``
+      (reference: merge.py:10-15) so merged res-pretrain overlays import like
+      plain ``resnet.`` weights.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        if k.startswith("char_resent."):
+            k = "resnet." + k[len("char_resent."):]
+        out[k] = v
+    return out
+
+
+def _import_mlm_head(sd: Mapping[str, np.ndarray], prefix: str) -> Dict[str, Any]:
+    """A BertOnlyMLMHead (``{prefix}.predictions.*``) → our mlm head subtree
+    (reference: modeling_bert.py:436-462 dense→gelu→LN→decoder+bias)."""
+    dec_w = sd[f"{prefix}.predictions.decoder.weight"]
+    bias = sd.get(f"{prefix}.predictions.bias",
+                  sd.get(f"{prefix}.predictions.decoder.bias"))
+    if bias is None:
+        bias = np.zeros(dec_w.shape[0], np.float32)
+    return {
+        "transform": _linear(sd, f"{prefix}.predictions.transform.dense"),
+        "layer_norm": _layer_norm(sd, f"{prefix}.predictions.transform.LayerNorm"),
+        "decoder": {"kernel": np.ascontiguousarray(dec_w.T), "bias": bias},
+    }
+
+
 def import_realise_state_dict(
     sd: Mapping[str, np.ndarray], cfg: RealiseConfig
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
-    """A full SpellBertPho2ResArch3-family state dict → (params, state)."""
+    """Any reference-zoo state dict → (params, state).
+
+    Covers the 13 model types' parameter surfaces: the fine-tune zoo
+    (SpellBert…Arch4, src/models.py:32-1170), the pretrain stages
+    (Pho2Pretrain/Pho2ResPretrain/ResPretrain, src/models.py:1174-1488) and
+    merge.py-composed checkpoints. Absent submodules are simply absent from
+    the result — overlay onto a fresh init with :func:`overlay_params`.
+    """
+    sd = normalize_state_dict(sd)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
 
-    params["bert"] = import_bert_stack(sd, "bert.", cfg.num_hidden_layers)
+    if any(k.startswith("bert.") for k in sd):
+        params["bert"] = import_bert_stack(sd, "bert.", cfg.num_hidden_layers)
+    elif "embeddings.word_embeddings.weight" in sd:
+        # merge.py overlays onto a bare BertModel dump whose keys carry no
+        # ``bert.`` prefix (merge.py:6); the semantic stack lives at the root.
+        params["bert"] = import_bert_stack(sd, "", cfg.num_hidden_layers)
 
-    if cfg.pho_encoder == "pho2" and "pho_embeddings.weight" in sd:
-        params["pho"] = {
-            "embeddings": _embedding(sd, "pho_embeddings.weight"),
-            "gru": _import_gru(sd, "pho_gru"),
-            "model": import_bert_stack(sd, "pho_model.", cfg.pho_num_layers,
-                                       with_word=False),
-        }
+    # The merged-stream models name their shared 4-layer BERT pho_res_model
+    # (src/models.py:265,404,1194); every other pho BERT is pho_model.
+    pho_bert_prefix = None
+    for cand in ("pho_model.", "pho_res_model."):
+        if any(k.startswith(cand) for k in sd):
+            pho_bert_prefix = cand
+            break
+
+    if cfg.with_pho and "pho_embeddings.weight" in sd:
+        pho: Dict[str, Any] = {
+            "embeddings": _embedding(sd, "pho_embeddings.weight")}
+        if cfg.pho_encoder == "pho2" and "pho_gru.weight_ih_l0" in sd:
+            pho["gru"] = _import_gru(sd, "pho_gru")
+        if pho_bert_prefix is not None:
+            pho["model"] = import_bert_stack(sd, pho_bert_prefix,
+                                             cfg.pho_num_layers,
+                                             with_word=False)
+        params["pho"] = pho
 
     if cfg.with_res and any(k.startswith("resnet.") for k in sd):
         num_blocks = 5 if cfg.res_encoder == "resnet" else 4
@@ -189,11 +260,11 @@ def import_realise_state_dict(
         if "resnet_layernorm.weight" in sd:
             params["res"]["layer_norm"] = _layer_norm(sd, "resnet_layernorm")
         state["resnet"] = res_s
-        if "char_images_multifonts" in sd:
-            state["char_images"] = sd["char_images_multifonts"]
-        elif "char_images.weight" in sd:
-            v = sd["char_images.weight"]
-            state["char_images"] = v.reshape(v.shape[0], 1, 32, 32)
+    if "char_images_multifonts" in sd:
+        state["char_images"] = sd["char_images_multifonts"]
+    elif "char_images.weight" in sd:
+        v = sd["char_images.weight"]
+        state["char_images"] = v.reshape(v.shape[0], 1, 32, 32)
 
     if "gate_net.weight" in sd:
         params["fusion"] = {"gate_net": _linear(sd, "gate_net")}
@@ -207,27 +278,77 @@ def import_realise_state_dict(
     if cfg.head == "linear_tied" and "classifier.bias" in sd:
         # classifier.weight is the tied word-embedding table — structural here.
         params["head"] = {"bias": sd["classifier.bias"]}
-    elif "classifier.weight" in sd:
-        params["head"] = {"classifier": _linear(sd, "classifier")}
-    elif "cls.predictions.transform.dense.weight" in sd:
-        params["head"] = {
-            "transform": _linear(sd, "cls.predictions.transform.dense"),
-            "layer_norm": _layer_norm(sd, "cls.predictions.transform.LayerNorm"),
-            "decoder": {
-                "kernel": np.ascontiguousarray(sd["cls.predictions.decoder.weight"].T),
-                "bias": sd.get("cls.predictions.bias",
-                               np.zeros(sd["cls.predictions.decoder.weight"].shape[0],
-                                        np.float32)),
-            },
-        }
+    elif cfg.head == "linear":
+        if "classifier.weight" in sd:
+            params["head"] = {"classifier": _linear(sd, "classifier")}
+        elif "cls3.weight" in sd:
+            # ResPretrain's glyph classifier (src/models.py:1371).
+            params["head"] = {"classifier": _linear(sd, "cls3")}
+    elif cfg.head == "mlm":
+        for head_prefix in ("cls", "cls2"):
+            if f"{head_prefix}.predictions.transform.dense.weight" in sd:
+                params["head"] = _import_mlm_head(sd, head_prefix)
+                break
     return params, state
+
+
+def overlay_params(base: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, Any]:
+    """Deep-merge an imported (possibly partial) pytree onto a fresh init.
+
+    Merged pretrain checkpoints carry only bert + pho + resnet weights —
+    gate_net, resnet_layernorm, output_block and classifier start fresh at
+    fine-tune time (they are simply missing keys for from_pretrained,
+    reference: merge.py:5-38 + run.py:429-430) — so absent subtrees keep the
+    base initialization.
+    """
+    out = dict(base)
+    for k, v in imported.items():
+        if isinstance(v, dict) and isinstance(out.get(k), dict):
+            out[k] = overlay_params(out[k], v)
+        else:
+            out[k] = v
+    return out
+
+
+def merge_torch_state_dicts(
+    bert_sd: Mapping[str, np.ndarray],
+    pho_sd: Optional[Mapping[str, np.ndarray]] = None,
+    res_sd: Optional[Mapping[str, np.ndarray]] = None,
+    sec_version: int = 0,
+) -> Dict[str, np.ndarray]:
+    """Replicate merge.py's checkpoint composition on numpy state dicts.
+
+    Overlays the pho-pretrain and res-pretrain dicts onto the base BERT dict
+    (later wins, reference: merge.py:18-24), optionally renaming the res
+    overlay's ``resnet.`` keys to ``char_resent.`` first (``sec_version=1``,
+    merge.py:10-15), then deletes ``position_embeddings.*`` and
+    ``char_images.*`` keys (merge.py:26-34). The result imports via
+    :func:`import_realise_state_dict` (which normalizes ``char_resent.``
+    back) exactly like the reference's released merged checkpoints.
+    """
+    merged: Dict[str, np.ndarray] = dict(bert_sd)
+    if pho_sd is not None:
+        merged.update(pho_sd)
+    if res_sd is not None:
+        res_sd = dict(res_sd)
+        if sec_version == 1:
+            res_sd = {
+                ("char_resent." + k[len("resnet."):]
+                 if k.startswith("resnet.") else k): v
+                for k, v in res_sd.items()
+            }
+        merged.update(res_sd)
+    return {k: v for k, v in merged.items()
+            if not (k.startswith("position_embeddings.")
+                    or k.startswith("char_images."))}
 
 
 def import_checkpoint_dir(path: str, cfg: RealiseConfig):
     """Convenience: a torch checkpoint dir (pytorch_model.bin) → pytrees."""
     import os
 
-    sd = load_torch_bin(os.path.join(path, "pytorch_model.bin"))
-    if any(k.startswith("pho_") or k.startswith("resnet.") for k in sd):
+    sd = normalize_state_dict(
+        load_torch_bin(os.path.join(path, "pytorch_model.bin")))
+    if any(k.startswith(("pho_", "resnet.", "cls2.", "cls3.")) for k in sd):
         return import_realise_state_dict(sd, cfg)
     return {"bert": import_hf_bert(sd, cfg)}, {}

@@ -30,3 +30,28 @@ END-TO-END were retired (bare attention, GRU, gate fusion,
 classifier+argmax — see PARITY.md); the rule is: a kernel ships only where
 the end-to-end number wins.
 """
+
+
+def pallas_dims_reason(cfg) -> "str | None":
+    """Why this config cannot use the fused TPU kernels (None = it can).
+
+    Mosaic requires a block's last two dims to be (8, 128)-tile multiples
+    unless the block spans the whole array; the FFN kernels split the
+    intermediate dim (bert_block.ffn_block / bert_block_train._ffn_splits),
+    and the weight-grad accumulators put hidden on the lane axis — so
+    production dims (768/3072, S=128) pass but tiny smoke configs must fall
+    back to the jnp path (interpret-mode tests on CPU never hit the tiling
+    rules, which is why only a real-TPU run can surface this).
+    """
+    if cfg.hidden_size % 128 != 0:
+        return (f"hidden_size {cfg.hidden_size} is not a multiple of the "
+                f"128-lane tile the fused kernels' weight blocks require")
+    if cfg.intermediate_size % 128 != 0:
+        return (f"intermediate_size {cfg.intermediate_size} is not a "
+                f"multiple of 128 (FFN split blocks put it on the lane axis)")
+    if cfg.max_seq_length % 8 != 0:
+        return (f"max_seq_length {cfg.max_seq_length} is not a multiple of "
+                f"the 8-sublane tile of the (S, H) activation blocks")
+    if cfg.hidden_size % cfg.num_attention_heads != 0:
+        return "hidden_size must divide evenly into attention heads"
+    return None

@@ -95,10 +95,16 @@ def _site_base(seed, site: int, example, head: int = 0):
 
 
 def _keep_mask(base, rows: int, cols: int, keep: float):
-    """(rows, cols) f32 mask of {0, 1/keep} — dropout multiplier."""
+    """(rows, cols) f32 mask of {0, 1/keep} — dropout multiplier.
+
+    Stream id (``base``) and element index mix in separate rounds
+    (``_mix(base ^ _mix(idx))``): with the earlier single-round
+    ``_mix(base + idx)``, two sites whose bases differed by less than
+    rows·cols shared a shifted run of identical bits; scrambling the
+    index first leaves only pointwise birthday collisions."""
     r = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
-    bits = _mix(base + r * jnp.uint32(cols) + c)
+    bits = _mix(base ^ _mix(r * jnp.uint32(cols) + c))
     thresh = jnp.uint32(min(int(keep * (1 << 24)), (1 << 24)))
     return ((bits >> 8) < thresh).astype(jnp.float32) * (1.0 / keep)
 
@@ -457,7 +463,15 @@ def _ffn_splits(hdim: int, isz: int, itemsize: int) -> int:
         raise ValueError(
             f"intermediate_size {isz} has no split count in 1..32 that "
             f"divides it — the fused FFN train kernels require one")
-    return best  # largest divisor found; slices always cover all columns
+    # The largest available divisor still busts the budget: the kernel
+    # would fail to compile ("exceeded scoped vmem limit") mid-training.
+    # Refuse up front so callers (Trainer falls back to jnp) see a clear
+    # signal instead of a Mosaic compile error.
+    raise ValueError(
+        f"fused FFN train kernel cannot fit hidden={hdim}/"
+        f"intermediate={isz}: best split n={best} needs "
+        f"{per_col_bytes * (isz // best) / 2**20:.1f} MB of scoped vmem "
+        f"(budget 12 MB); use the jnp path for this config")
 
 
 def _ffn_fwd_splits(hdim: int, isz: int, itemsize: int) -> int:

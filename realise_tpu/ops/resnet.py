@@ -82,7 +82,10 @@ def batch_norm(
             tot = jnp.maximum(w.sum() * hw, 1.0)
             wsum = lambda t: jnp.einsum("nhwc,n->c", t, w)
             mean = wsum(x32) / tot
-            var = wsum(x32 * x32) / tot - mean * mean
+            # One-pass E[x²] − mean² can round slightly negative for
+            # near-constant channels; clamp so the running-stat EMA (and
+            # eval-time rsqrt) never sees a negative variance.
+            var = jnp.maximum(wsum(x32 * x32) / tot - mean * mean, 0.0)
             n = tot
             unbiased_n = jnp.maximum(tot - 1.0, 1.0)
         # torch tracks the *unbiased* variance in running stats.

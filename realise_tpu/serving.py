@@ -57,6 +57,14 @@ class Corrector:
         self.state = jax.tree.map(jax.numpy.asarray, restored["state"])
         self.batch_size = batch_size
         use_pallas = auto_use_pallas(use_pallas)
+        if use_pallas and jax.default_backend() == "tpu":
+            from realise_tpu.ops.pallas import pallas_dims_reason
+
+            reason = pallas_dims_reason(self.cfg)
+            if reason is not None:
+                # Tiny/nonstandard dims violate Mosaic's (8, 128) tiling
+                # rules on a real chip — serve on the jnp path instead.
+                use_pallas = False
 
         if vocab_path:
             self.tokenizer = WordPieceTokenizer.from_pretrained(vocab_path)
@@ -129,6 +137,8 @@ class Corrector:
         are padded to ``batch_size`` rows (repeating the last sentence) so
         the jit never re-specializes on the request size."""
         n = len(sentences)
+        if n == 0:
+            return []
         padded = list(sentences) + [sentences[-1]] * (self.batch_size - n)
         host = self.featurizer.featurize_raw(
             padded, native=self.native,

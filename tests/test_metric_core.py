@@ -104,3 +104,33 @@ def test_remove_de():
     ])
     out = remove_de_text(text).splitlines()
     assert out == ["10001, 0", "10002, 3, 好", "10003, 0", "10004, 0"]
+
+
+def test_sig_test_reference_semantics():
+    """The paired bootstrap must follow the reference's scheme: 50% subsample
+    WITHOUT replacement, per-system mean/median/CI stats, p = 1 - win ratio
+    of the superior system (reference: sig_test.py:24-27,43-53)."""
+    from realise_tpu.eval.sig_test import paired_bootstrap
+
+    targ = [(f"S{i}", [(1, "好")]) for i in range(20)]
+    sys1 = list(targ)                     # perfect system
+    sys2 = [(f"S{i}", []) for i in range(20)]   # detects nothing
+
+    res = paired_bootstrap(sys1, sys2, targ, metric_key="sent-detect-f1",
+                           num_samples=50, sample_ratio=0.5, seed=3)
+    assert res["wins_sys1"] == 1.0 and res["wins_sys2"] == 0.0
+    assert res["p_value"] == 0.0
+    # A perfect system scores 1.0 on every subsample — and because sampling
+    # is without replacement, the degenerate sys2 scores exactly 0.0 on all.
+    assert res["sys1_mean"] == res["sys1_ci95_low"] == res["sys1_ci95_high"] == 100.0
+    assert res["sys2_mean"] == 0.0
+    assert res["sys1_median"] == 100.0
+
+
+def test_sig_test_tie_and_subsample_size():
+    from realise_tpu.eval.sig_test import paired_bootstrap
+
+    targ = [(f"S{i}", [(1, "好")]) for i in range(8)]
+    res = paired_bootstrap(targ, targ, targ, num_samples=10, seed=0)
+    assert res["ties"] == 1.0
+    assert res["wins_sys1"] == res["wins_sys2"] == 0.0

@@ -216,6 +216,21 @@ def test_keep_mask_rate_and_determinism():
     assert abs(float(np.mean(rates)) - 0.9) < 0.01, np.mean(rates)
 
 
+def test_keep_mask_nearby_bases_give_disjoint_streams():
+    """Bases closer than rows*cols must NOT share a shifted run of bits
+    (the old single-round ``_mix(base + idx)`` did): agreement between two
+    adjacent-base masks stays at chance under every small shift."""
+    from realise_tpu.ops.pallas.bert_block_train import _keep_mask
+
+    a = (np.asarray(_keep_mask(jnp.uint32(1000), 64, 128, 0.5)) > 0).ravel()
+    b = (np.asarray(_keep_mask(jnp.uint32(1001), 64, 128, 0.5)) > 0).ravel()
+    n = a.size
+    for shift in range(8):
+        agree = float((a[: n - shift] == b[shift:]).mean()) if shift else \
+            float((a == b).mean())
+        assert abs(agree - 0.5) < 0.05, (shift, agree)
+
+
 def test_model_train_grads_with_pallas_match_rate0(tokenizer):
     """Whole-model: apply_realise loss grads with use_pallas=True equal the
     jnp path when dropout is off (the only stochastic divergence between
