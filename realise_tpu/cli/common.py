@@ -35,12 +35,20 @@ def setup_logging(verbose: bool = True):
 
 
 def force_platform(platform: Optional[str]):
-    """--platform cpu/tpu override (the container pins an 'axon' TPU tunnel)."""
+    """--platform cpu/tpu override (the container pins an 'axon' TPU tunnel).
+
+    Also the shared runtime-setup hook every CLI calls before touching jax:
+    enables the persistent XLA compilation cache so cross-process compiles
+    (most importantly the ~95 s serving-table conv chunk) are paid once per
+    machine, not once per invocation (utils/cache.py)."""
     if platform:
         import jax
 
         os.environ["JAX_PLATFORMS"] = platform
         jax.config.update("jax_platforms", platform)
+    from realise_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
 
 def add_common_args(p: argparse.ArgumentParser):

@@ -96,7 +96,8 @@ def main(argv=None):
     restored = load_checkpoint(ckpt_path)
     trainer = Trainer(cfg, restored["params"], restored["state"],
                       mesh=build_mesh(args),
-                      use_pallas=auto_use_pallas(args.use_pallas))
+                      use_pallas=auto_use_pallas(args.use_pallas),
+                      table_cache_dir=ckpt_path)
 
     test_file = args.test_file or f"test.sighan{args.testset_year}.pkl"
     label_file = args.label_file or f"test.sighan{args.testset_year}.lbl.tsv"

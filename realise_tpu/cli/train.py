@@ -277,6 +277,8 @@ def main(argv=None):
             trainer.train_state = trainer.train_state.__class__(
                 params=restored["params"], state=restored["state"],
                 opt_state=trainer.train_state.opt_state, step=step)
+            # Frozen checkpoint params: the serving-table build may cache.
+            trainer.table_cache_dir = ckpt_dir
             res = evaluate_model(trainer, dev_data, featurizer, tokenizer,
                                  args.output_dir, prefix=f"eval-{step}",
                                  batch_size=args.eval_batch_size,

@@ -40,8 +40,11 @@ from __future__ import annotations
 
 from typing import Any, Dict, Optional, Tuple
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from realise_tpu.config import PHO1_VOCAB_SIZE, PHO2_VOCAB_SIZE, RealiseConfig
 from realise_tpu.ops.bert import (
@@ -510,6 +513,25 @@ def apply_realise(
 # ==========================================================================
 # Inference tables (serving fast path)
 # ==========================================================================
+# Module-level jitted chunk builders: repeated table builds (one per
+# checkpoint in `--do_eval`, one per SIGHAN year) hit jit's in-process
+# cache instead of recompiling the conv stack — the round-1 closure
+# version recompiled ~95 s per call on v5e.
+@partial(jax.jit, static_argnames=("variant", "hidden_size", "dtype"))
+def _res_table_chunk(res_params, res_state, imgs, *, variant, hidden_size,
+                     dtype):
+    imgs = jnp.transpose(imgs, (0, 2, 3, 1)).astype(jnp.dtype(dtype))
+    feats, _ = char_resnet(res_params, res_state, imgs, train=False,
+                           variant=variant, hidden_size=hidden_size)
+    return feats
+
+
+@partial(jax.jit, static_argnames=("dtype",))
+def _pho_table_chunk(pho_emb, pho_gru, idx, lens, *, dtype):
+    emb = embed(pho_emb, idx, dtype=jnp.dtype(dtype))
+    return gru_last_hidden(pho_gru, emb, lens)
+
+
 def precompute_inference_tables(
     params: Dict,
     state: Dict,
@@ -517,6 +539,7 @@ def precompute_inference_tables(
     vocab_pho_idx: Optional[jax.Array] = None,
     vocab_pho_lens: Optional[jax.Array] = None,
     batch_size: int = 4096,
+    cache_dir: Optional[str] = None,
 ) -> Dict[str, jax.Array]:
     """Precompute per-vocab-id GRU hiddens and glyph features.
 
@@ -524,9 +547,36 @@ def precompute_inference_tables(
     conv stack reduce to (V, H) table gathers. ``vocab_pho_idx/lens``:
     (V, P)/(V,) pinyin featurization of every vocab token (from
     realise_tpu.data.features.featurize_vocab_pinyin).
+
+    ``cache_dir`` enables the on-disk table cache: the finished tables are
+    stored keyed by a content digest of every input they depend on, so
+    rebuilding for the same params (serving restarts, per-year test runs)
+    is a file read. Only pass it for frozen params — during training the
+    params change per step and caching would only accumulate dead files.
     """
     tables: Dict[str, jax.Array] = {}
-    dtype = jnp.dtype(cfg.dtype)
+    dtype = str(cfg.dtype)
+
+    digest = None
+    if cache_dir is not None:
+        from realise_tpu.utils.cache import (content_digest, load_tables,
+                                             save_tables)
+
+        leaves: list = []
+        if cfg.with_res:
+            leaves += jax.tree.leaves(params["res"]["resnet"])
+            leaves += jax.tree.leaves(state["resnet"])
+            leaves.append(state["char_images"])
+        if cfg.pho_encoder == "pho2" and vocab_pho_idx is not None:
+            leaves += jax.tree.leaves(params["pho"]["embeddings"])
+            leaves += jax.tree.leaves(params["pho"]["gru"])
+            leaves += [vocab_pho_idx, vocab_pho_lens]
+        meta = "|".join(map(str, (cfg.res_encoder, cfg.pho_encoder,
+                                  cfg.hidden_size, dtype, cfg.with_res)))
+        digest = content_digest(leaves, meta)
+        cached = load_tables(cache_dir, digest)
+        if cached is not None:
+            return {k: jnp.asarray(v) for k, v in cached.items()}
 
     def _pad_to(x, mult):
         pad = (-x.shape[0]) % mult
@@ -537,34 +587,29 @@ def precompute_inference_tables(
     if cfg.with_res:
         glyphs = state["char_images"]
         v = glyphs.shape[0]
-
-        @jax.jit
-        def res_chunk(imgs):
-            imgs = jnp.transpose(imgs, (0, 2, 3, 1)).astype(dtype)
-            feats, _ = char_resnet(params["res"]["resnet"], state["resnet"],
-                                   imgs, train=False, variant=cfg.res_encoder,
-                                   hidden_size=cfg.hidden_size)
-            return feats
-
         # One jitted fn + one padded chunk shape → exactly one compile.
         padded = _pad_to(glyphs, batch_size)
-        chunks = [res_chunk(padded[i : i + batch_size])
+        chunks = [_res_table_chunk(params["res"]["resnet"], state["resnet"],
+                                   padded[i : i + batch_size],
+                                   variant=cfg.res_encoder,
+                                   hidden_size=cfg.hidden_size, dtype=dtype)
                   for i in range(0, padded.shape[0], batch_size)]
         tables["res"] = jnp.concatenate(chunks, axis=0)[:v]
 
     if cfg.pho_encoder == "pho2" and vocab_pho_idx is not None:
-        @jax.jit
-        def pho_chunk(idx, lens):
-            emb = embed(params["pho"]["embeddings"], idx, dtype=dtype)
-            return gru_last_hidden(params["pho"]["gru"], emb, lens)
-
         v = vocab_pho_idx.shape[0]
         idx_p = _pad_to(jnp.asarray(vocab_pho_idx), batch_size)
         lens_p = _pad_to(jnp.asarray(vocab_pho_lens), batch_size)
-        chunks = [pho_chunk(idx_p[i : i + batch_size],
-                            lens_p[i : i + batch_size])
+        chunks = [_pho_table_chunk(params["pho"]["embeddings"],
+                                   params["pho"]["gru"],
+                                   idx_p[i : i + batch_size],
+                                   lens_p[i : i + batch_size], dtype=dtype)
                   for i in range(0, idx_p.shape[0], batch_size)]
         tables["pho"] = jnp.concatenate(chunks, axis=0)[:v]
+
+    if digest is not None:
+        save_tables(cache_dir, digest,
+                    {k: np.asarray(v) for k, v in tables.items()})
     return tables
 
 

@@ -49,6 +49,9 @@ class Corrector:
             load_config,
         )
 
+        from realise_tpu.utils.cache import enable_persistent_compile_cache
+
+        enable_persistent_compile_cache()
         ckpts = list_checkpoints(ckpt_dir)
         ckpt_path = ckpts[-1][1] if ckpts else ckpt_dir
         self.cfg = load_config(ckpt_path)
@@ -93,10 +96,13 @@ class Corrector:
         tables = None
         if fast_path:
             idx, lens = self.featurizer.pho2_tables()
+            # cache_dir: serving restarts on the same checkpoint skip the
+            # table build entirely (content-digest keyed, utils/cache.py).
             tables = precompute_inference_tables(
                 self.params, self.state, self.cfg,
                 vocab_pho_idx=jax.numpy.asarray(idx),
-                vocab_pho_lens=jax.numpy.asarray(lens))
+                vocab_pho_lens=jax.numpy.asarray(lens),
+                cache_dir=ckpt_path)
 
         @jax.jit
         def _step(params, state, batch):

@@ -47,7 +47,9 @@ def _load_builtin_table(path: str = _ASSET_TABLE) -> Dict[str, str]:
             line = line.rstrip("\n")
             if not line:
                 continue
-            ch, py = line.split("\t")
+            # col 3 (optional) is reading provenance, a build-time audit
+            # trail (tools/build_pinyin_table.py) — not needed at runtime.
+            ch, py = line.split("\t")[:2]
             table[ch] = py
     return table
 

@@ -65,9 +65,14 @@ class Trainer:
         use_pallas: bool = False,
         pretrain: bool = False,
         seed: int = 17,
+        table_cache_dir: Optional[str] = None,
     ):
         self.cfg = cfg
         self.mesh = mesh
+        # On-disk cache for the serving fast-path tables; only set for
+        # frozen-params evals (checkpoint eval/test CLIs), never while
+        # training (utils/cache.py).
+        self.table_cache_dir = table_cache_dir
         # pallas_call is a custom call XLA's SPMD partitioner cannot split,
         # so the kernels cannot run on global arrays under a >1-device
         # mesh. Data-only meshes instead run the step under shard_map —
@@ -337,7 +342,8 @@ class Trainer:
             idx, lens = jnp.asarray(t), jnp.asarray(l)
         ts = self.train_state
         self._eval_tables = precompute_inference_tables(
-            ts.params, ts.state, cfg, vocab_pho_idx=idx, vocab_pho_lens=lens)
+            ts.params, ts.state, cfg, vocab_pho_idx=idx, vocab_pho_lens=lens,
+            cache_dir=self.table_cache_dir)
         return True
 
     def clear_eval_tables(self):

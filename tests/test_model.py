@@ -115,6 +115,32 @@ def test_inference_tables_match_full_forward(featurized, tokenizer):
                                np.asarray(fast["logits"]), atol=2e-4)
 
 
+def test_inference_table_cache_roundtrip(featurized, tokenizer, tmp_path):
+    """cache_dir: second build is a file read with identical tables; changed
+    params miss the cache (content digest, utils/cache.py)."""
+    cfg, _ = featurized
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    feat = Featurizer(tokenizer, cfg)
+    idx, lens = map(jnp.asarray, feat.pho2_tables())
+    kw = dict(vocab_pho_idx=idx, vocab_pho_lens=lens,
+              cache_dir=str(tmp_path))
+
+    t1 = precompute_inference_tables(params, state, cfg, **kw)
+    files = [f for f in tmp_path.iterdir() if f.suffix == ".npz"]
+    assert len(files) == 1
+    t2 = precompute_inference_tables(params, state, cfg, **kw)
+    for k in t1:
+        np.testing.assert_array_equal(np.asarray(t1[k]), np.asarray(t2[k]))
+
+    # Perturbed params must not hit the stale entry.
+    params2 = jax.tree.map(lambda x: x, params)
+    params2["pho"]["gru"] = jax.tree.map(lambda x: x + 1.0,
+                                         params2["pho"]["gru"])
+    t3 = precompute_inference_tables(params2, state, cfg, **kw)
+    assert len([f for f in tmp_path.iterdir() if f.suffix == ".npz"]) == 2
+    assert not np.allclose(np.asarray(t1["pho"]), np.asarray(t3["pho"]))
+
+
 def test_loss_decreases_with_identity_labels(featurized):
     """Sanity: loss on tgt==src with tied head should beat random labels."""
     cfg, batch = featurized

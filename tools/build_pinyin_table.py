@@ -23,8 +23,22 @@ merges three sources, in priority order:
 A small traditional→simplified transfer from the glyph pipeline's S2T map
 runs before anchor inference because it is exact.
 
-Output: ``assets/pinyin_table.tsv`` (char<TAB>tone3), the runtime asset
-loaded by realise_tpu.text.pinyin.
+Output: ``assets/pinyin_table.tsv`` (char<TAB>tone3<TAB>provenance), the
+runtime asset loaded by realise_tpu.text.pinyin (which reads the first two
+columns). The provenance column records where each reading came from so the
+tone-uncertainty surface is quantified in the asset itself, not guessed:
+
+    core            curated pypinyin-parity reading (exact)
+    gb2312          hand-authored GB2312 reading (exact)
+    trad            curated traditional-char reading (exact)
+    s2t             exact traditional→simplified reading transfer
+    anchor-exact    both neighbouring anchors agree → base+tone reliable
+    anchor-boundary nearest-anchor fallback → base syllable near-certain,
+                    TONE BEST-EFFORT (the risk class VERDICT r1 flags)
+
+Per-source counts are printed at build time and asserted in
+tests/test_text.py; when pypinyin is installed the full table is validated
+against it (the test skips cleanly otherwise).
 """
 
 from __future__ import annotations
@@ -80,21 +94,29 @@ def s2t_pairs():
 
 
 def build():
-    table = load_tsv(os.path.join(ASSETS, "pinyin_gb2312.tsv"))
+    table = {}
+    prov = {}
+
+    def absorb(readings, source):
+        for ch, py in readings.items():
+            table[ch] = py
+            prov[ch] = source
+
+    absorb(load_tsv(os.path.join(ASSETS, "pinyin_gb2312.tsv")), "gb2312")
     # Curated traditional-char readings (anchor inference alone is ~96%
     # accurate on these; the curated list makes the frequent ones exact).
-    table.update(load_tsv(os.path.join(ASSETS, "pinyin_trad.tsv")))
+    absorb(load_tsv(os.path.join(ASSETS, "pinyin_trad.tsv")), "trad")
     core = load_tsv(os.path.join(ASSETS, "pinyin_core.tsv"))
-    table.update(core)  # curated pypinyin-parity readings win
+    absorb(core, "core")  # curated pypinyin-parity readings win
 
     # Exact traditional→simplified reading transfer.
     for simp, trad in s2t_pairs().items():
         if trad not in table and simp in table:
             table[trad] = table[simp]
+            prov[trad] = "s2t"
 
     order = collation_order()
     known_idx = [i for i, c in enumerate(order) if c in table]
-    n_inferred_exact = n_inferred_near = 0
     for i, ch in enumerate(order):
         if ch in table:
             continue
@@ -108,22 +130,32 @@ def build():
         rr = table.get(right) if right else None
         if lr and lr == rr:
             table[ch] = lr
-            n_inferred_exact += 1
+            prov[ch] = "anchor-exact"
         elif lr or rr:
             # boundary: base syllable certain up to the boundary side;
             # take the nearest anchor's reading (tone best-effort).
             ld = i - known_idx[j - 1] if j > 0 else 1 << 30
             rd = known_idx[j] - i if j < len(known_idx) else 1 << 30
             table[ch] = lr if ld <= rd else rr
-            n_inferred_near += 1
+            prov[ch] = "anchor-boundary"
 
     out = os.path.join(ASSETS, "pinyin_table.tsv")
     with open(out, "w", encoding="utf-8") as f:
         for ch in sorted(table, key=ord):
-            f.write(f"{ch}\t{table[ch]}\n")
-    print(f"wrote {out}: {len(table)} entries "
-          f"(core={len(core)}, exact-inferred={n_inferred_exact}, "
-          f"boundary-inferred={n_inferred_near})")
+            f.write(f"{ch}\t{table[ch]}\t{prov[ch]}\n")
+    counts = {}
+    for p in prov.values():
+        counts[p] = counts.get(p, 0) + 1
+    exact = sum(v for k, v in counts.items()
+                if k in ("core", "gb2312", "trad", "s2t"))
+    print(f"wrote {out}: {len(table)} entries")
+    for k in ("core", "gb2312", "trad", "s2t", "anchor-exact",
+              "anchor-boundary"):
+        print(f"  {k:<16} {counts.get(k, 0):>6}")
+    print(f"  exact sources    {exact:>6} ({100.0 * exact / len(table):.1f}%)"
+          f"; tone-uncertain (anchor-boundary) "
+          f"{counts.get('anchor-boundary', 0)} "
+          f"({100.0 * counts.get('anchor-boundary', 0) / len(table):.1f}%)")
 
 
 if __name__ == "__main__":
