@@ -329,6 +329,7 @@ def main():
     if trainer is not None:
         ts = trainer.train_state
         step_arr = jax.numpy.asarray(0, jax.numpy.int32)
+        lr_arr = jax.numpy.asarray(5e-5, jax.numpy.float32)
         dbatch = trainer._put_batch(batch)
         if args.use_pallas:
             # Guard the driver artifact: if the custom-VJP kernels fail to
@@ -336,7 +337,8 @@ def main():
             # instead of dying without the JSON line.
             try:
                 trainer._train_step.lower(ts.params, ts.state, ts.opt_state,
-                                          dbatch, step_arr).compile()
+                                          dbatch, step_arr,
+                                          trainer.base_rng, lr_arr).compile()
             except Exception as e:
                 _log(f"pallas train step failed to compile ({e!r:.200}); "
                      f"falling back to the jnp training path")
@@ -347,7 +349,8 @@ def main():
                                   seed=0, use_pallas=False)
                 ts = trainer.train_state
         compiled_flops(trainer._train_step, ts.params, ts.state,
-                       ts.opt_state, dbatch, step_arr)
+                       ts.opt_state, dbatch, step_arr, trainer.base_rng,
+                       lr_arr)
         train_flops = bs * analytic_flops_per_sentence(cfg_full,
                                                        fast_path=False,
                                                        train=True,
@@ -357,7 +360,7 @@ def main():
             t = trainer.train_state
             p2, s2, o2, loss = trainer._train_step(
                 t.params, t.state, t.opt_state, trainer._put_batch(batch),
-                step_arr)
+                step_arr, trainer.base_rng, lr_arr)
             trainer.train_state = type(t)(p2, s2, o2, t.step + 1)
             return loss
 

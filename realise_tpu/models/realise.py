@@ -116,6 +116,33 @@ def apply_head(params, cfg: RealiseConfig, hidden: jax.Array,
     raise ValueError(f"unknown head {cfg.head!r}")
 
 
+# Init draws happen on the host (ops/layers.py host_normal): drawing
+# through jax.random costs one XLA threefry compile per call site (~0.3 s
+# each, ~80 sites ≈ 25 s per fresh model even at test sizes — measured on
+# an 8-vCPU host; fusing them under one jit does not help, the cost is
+# per threefry lowering). The builders below therefore run eagerly and
+# only the constants installation touches devices.
+def _cfg_cache_key(cfg: RealiseConfig) -> str:
+    import dataclasses
+    import json
+
+    return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
+
+
+def _install_constants(state: Dict, cfg: RealiseConfig, glyphs, pho_tables):
+    """Eager (non-traced) state constants: glyph tensor + pho vocab tables."""
+    if pho_tables is not None and cfg.pho_encoder == "pho2":
+        idx, lens = pho_tables
+        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
+        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
+    if cfg.with_res:
+        if glyphs is None:
+            glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
+                                cfg.glyph_size, cfg.glyph_size), jnp.float32)
+        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
+    return state
+
+
 def init_realise(key, cfg: RealiseConfig,
                  glyphs: Optional[jax.Array] = None,
                  pho_tables=None) -> Tuple[Dict, Dict]:
@@ -131,13 +158,15 @@ def init_realise(key, cfg: RealiseConfig,
     on large batches (vocabulary factorization; exact same function and
     gradients, V instead of B·S scan rows).
     """
+    params, state = _build_realise(key, cfg)
+    state = _install_constants(state, cfg, glyphs, pho_tables)
+    return params, state
+
+
+def _build_realise(key, cfg: RealiseConfig) -> Tuple[Dict, Dict]:
     keys = jax.random.split(key, 8)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
-    if pho_tables is not None and cfg.pho_encoder == "pho2":
-        idx, lens = pho_tables
-        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
-        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
 
     params["bert"] = init_bert_model(keys[0], cfg, cfg.num_hidden_layers)
 
@@ -168,10 +197,6 @@ def init_realise(key, cfg: RealiseConfig,
             # (src/models.py:485-489 vs :612,:687).
             params["res"]["layer_norm"] = init_layer_norm(cfg.hidden_size)
         state["resnet"] = res_state
-        if glyphs is None:
-            glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
-                                cfg.glyph_size, cfg.glyph_size), jnp.float32)
-        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
 
     if cfg.fusion in ("gate", "softmax_gate"):
         params["fusion"] = init_gate_fusion(keys[4], cfg.hidden_size,
@@ -622,13 +647,15 @@ def init_pretrain(key, cfg: RealiseConfig,
     """Params/state for the pho2 / res / pho2-res pretraining stages
     (src/models.py:1286-1347, 1349-1488, 1174-1284). ``pho_tables`` as in
     :func:`init_realise` (enables the vocabulary-factorized GRU)."""
+    params, state = _build_pretrain(key, cfg)
+    state = _install_constants(state, cfg, glyphs, pho_tables)
+    return params, state
+
+
+def _build_pretrain(key, cfg: RealiseConfig) -> Tuple[Dict, Dict]:
     keys = jax.random.split(key, 6)
     params: Dict[str, Any] = {}
     state: Dict[str, Any] = {}
-    if pho_tables is not None and cfg.pho_encoder == "pho2":
-        idx, lens = pho_tables
-        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
-        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
     if cfg.pho_encoder == "pho2":
         k_emb, k_gru = jax.random.split(keys[0])
         params["pho"] = {
@@ -643,10 +670,6 @@ def init_pretrain(key, cfg: RealiseConfig,
                                                  cfg.res_encoder, cfg.hidden_size)
         params["res"] = {"resnet": res_params}
         state["resnet"] = res_state
-        if glyphs is None:
-            glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
-                                cfg.glyph_size, cfg.glyph_size), jnp.float32)
-        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
     params["head"] = init_head(keys[3], cfg)
     return params, state
 

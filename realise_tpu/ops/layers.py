@@ -21,10 +21,29 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def host_normal(key, shape, stddev: float, dtype=jnp.float32):
+    """Normal draw on the HOST, seeded from a jax PRNG key.
+
+    Initialization is a one-shot host-side job, but drawing through
+    jax.random costs one XLA threefry compile per call site (~0.3 s each,
+    ~80 sites ≈ 25 s per fresh model even at test sizes). numpy's Philox
+    is platform-stable and keyed from the jax key's bits, so inits stay
+    deterministic per seed with zero compiles. Falls back to the traced
+    path when ``key`` is a tracer (init under jit)."""
+    if isinstance(jnp.asarray(key) if not hasattr(key, "dtype") else key,
+                  jax.core.Tracer):
+        return stddev * jax.random.normal(key, shape, dtype=dtype)
+    kd = np.asarray(jax.random.key_data(key)).ravel()
+    seed = (np.uint64(kd[-2]) << np.uint64(32)) | np.uint64(kd[-1])
+    gen = np.random.Generator(np.random.Philox(key=seed))
+    draw = stddev * gen.standard_normal(shape, dtype=np.float32)
+    return jnp.asarray(draw, dtype=dtype)
+
+
 def trunc_normal_init(key, shape, stddev: float = 0.02, dtype=jnp.float32):
     """BERT-style initializer (reference: modeling_bert.py:487-506 uses
     normal(0, initializer_range); we use the same)."""
-    return stddev * jax.random.normal(key, shape, dtype=dtype)
+    return host_normal(key, shape, stddev, dtype=dtype)
 
 
 # ------------------------------------------------------------------ dense

@@ -29,9 +29,11 @@ BN_EPS = 1e-5
 
 # ------------------------------------------------------------------- conv
 def init_conv(key, kh: int, kw: int, in_ch: int, out_ch: int):
+    from realise_tpu.ops.layers import host_normal
+
     fan_in = kh * kw * in_ch
     std = (2.0 / fan_in) ** 0.5  # He init for ReLU nets
-    return {"kernel": std * jax.random.normal(key, (kh, kw, in_ch, out_ch), jnp.float32)}
+    return {"kernel": host_normal(key, (kh, kw, in_ch, out_ch), std)}
 
 
 def conv2d(params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array:

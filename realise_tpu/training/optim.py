@@ -54,6 +54,44 @@ def linear_warmup_schedule(peak_lr: float, warmup_steps: int, total_steps: int):
     )
 
 
+def make_tx(
+    params,
+    adam_epsilon: float = 1e-8,
+    with_clip: bool = True,
+    learning_rate: float = 5e-5,
+    weight_decay: float = 0.0,
+    max_grad_norm: float = 1.0,
+):
+    """AdamW chain with DYNAMIC lr / weight-decay / clip-norm.
+
+    The three hyperparameters live as jnp leaves in the optimizer state
+    (optax.inject_hyperparams), not as baked program constants, so one
+    compiled update program serves every (lr, wd, clip) combination — the
+    Trainer overwrites ``opt_state.hyperparams['learning_rate']`` each step
+    with the scheduled value. Only ``adam_epsilon`` and the decay-mask
+    structure are static. The mask is always applied (wd=0 is exact), so
+    decay on/off shares the program too."""
+    mask = decay_mask(params)
+
+    if with_clip:
+        def factory(learning_rate, weight_decay, max_grad_norm):
+            return optax.chain(
+                optax.clip_by_global_norm(max_grad_norm),
+                optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=adam_epsilon,
+                            weight_decay=weight_decay, mask=mask))
+
+        return optax.inject_hyperparams(factory)(
+            learning_rate=learning_rate, weight_decay=weight_decay,
+            max_grad_norm=max_grad_norm)
+
+    def factory(learning_rate, weight_decay):
+        return optax.adamw(learning_rate, b1=0.9, b2=0.999, eps=adam_epsilon,
+                           weight_decay=weight_decay, mask=mask)
+
+    return optax.inject_hyperparams(factory)(
+        learning_rate=learning_rate, weight_decay=weight_decay)
+
+
 def make_optimizer(
     params,
     learning_rate: float = 5e-5,
@@ -64,19 +102,13 @@ def make_optimizer(
     max_grad_norm: Optional[float] = 1.0,
     constant_lr: bool = False,
 ):
+    """(tx, schedule). The schedule is host-evaluated by the caller per step
+    and written into ``tx``'s state (see :func:`make_tx`); ``tx`` used
+    standalone runs at the constant peak ``learning_rate``."""
     schedule = (learning_rate if constant_lr else
                 linear_warmup_schedule(learning_rate, warmup_steps, total_steps))
-    tx_parts = []
-    if max_grad_norm is not None:
-        tx_parts.append(optax.clip_by_global_norm(max_grad_norm))
-    tx_parts.append(
-        optax.adamw(
-            learning_rate=schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=adam_epsilon,
-            weight_decay=weight_decay,
-            mask=decay_mask(params) if weight_decay else None,
-        )
-    )
-    return optax.chain(*tx_parts), schedule
+    tx = make_tx(params, adam_epsilon=adam_epsilon,
+                 with_clip=max_grad_norm is not None,
+                 learning_rate=learning_rate, weight_decay=weight_decay,
+                 max_grad_norm=max_grad_norm if max_grad_norm is not None else 1.0)
+    return tx, schedule

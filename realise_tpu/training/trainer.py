@@ -31,9 +31,13 @@ import numpy as np
 import optax
 
 from realise_tpu.config import RealiseConfig
-from realise_tpu.models.realise import apply_pretrain, apply_realise
+from realise_tpu.models.realise import (
+    _cfg_cache_key,
+    apply_pretrain,
+    apply_realise,
+)
 from realise_tpu.parallel.mesh import batch_shardings, param_shardings
-from realise_tpu.training.optim import make_optimizer
+from realise_tpu.training.optim import linear_warmup_schedule, make_tx
 
 logger = logging.getLogger("realise_tpu")
 
@@ -44,6 +48,189 @@ class TrainState:
     state: Any          # mutable model state (BN stats, glyph constants)
     opt_state: Any
     step: int = 0
+
+
+# ---------------------------------------------------------------- step cache
+# One compiled train/eval step per SEMANTIC configuration, shared across
+# Trainer instances. The per-run knobs are dynamic: lr/wd/clip live in the
+# optimizer state (optim.make_tx) and the RNG key + step index are plain
+# arguments, so trainers differing only in schedule, seed or decay rate
+# reuse the same executables. This matters because the backward program is
+# the expensive compile (conv grads alone ≈ 20 s on an 8-vCPU host; 20-40 s
+# on a cold TPU) and the test pyramid builds dozens of Trainers.
+_STEP_CACHE: Dict[Any, "_StepFns"] = {}
+
+
+@dataclasses.dataclass
+class _StepFns:
+    tx: Any
+    train_step: Any     # (params, state, opt_state, batch, step, rng, lr)
+    eval_step: Any      # (params, state, batch, tables)
+
+
+def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
+                    use_pallas: bool, shard_pallas: bool,
+                    grad_accum_steps: int, mesh,
+                    adam_epsilon: float, with_clip: bool) -> _StepFns:
+    apply_fn = apply_pretrain if pretrain else apply_realise
+    tx = make_tx(params, adam_epsilon=adam_epsilon, with_clip=with_clip)
+
+    def accumulate(params, state, batch, rng, pallas):
+        """(grads of the loss SUM, loss_sum, loss_count, new_state).
+
+        Always works in unnormalized loss *sums* + valid-token counts —
+        normalized once by the caller — so the microbatch scan is exactly
+        equal to the full-batch gradient even with ragged lengths (the
+        reference averages per-microbatch means, run.py:193-194, which is
+        not), and the shard_map path can psum the same quantities for the
+        exact global-batch gradient."""
+        def sum_loss_fn(p, st, mb, r):
+            out = apply_fn(p, st, mb, cfg, deterministic=False,
+                           rng=r, train=True, use_pallas=pallas)
+            return out["loss_sum"], (out["state"], out["loss_count"])
+
+        vg = jax.value_and_grad(sum_loss_fn, has_aux=True)
+        if grad_accum_steps == 1:
+            (ls, (new_state, lc)), grads = vg(params, state, batch, rng)
+            return grads, ls, lc, new_state
+
+        def micro(carry, mb):
+            g_acc, sum_acc, cnt_acc, st, i = carry
+            (mls, (st2, mlc)), g = vg(params, st, mb,
+                                      jax.random.fold_in(rng, i))
+            g_acc = jax.tree.map(jnp.add, g_acc, g)
+            return (g_acc, sum_acc + mls, cnt_acc + mlc, st2, i + 1), None
+
+        micro_batches = jax.tree.map(
+            lambda x: x.reshape((grad_accum_steps,
+                                 x.shape[0] // grad_accum_steps) + x.shape[1:]),
+            batch)
+        zero = jax.tree.map(jnp.zeros_like, params)
+        (grads, ls, lc, new_state, _), _ = jax.lax.scan(
+            micro, (zero, 0.0, 0.0, state, 0), micro_batches)
+        return grads, ls, lc, new_state
+
+    def apply_update(grads, ls, lc, params, state, opt_state, lr):
+        denom = jnp.maximum(lc, 1.0)
+        grads = jax.tree.map(lambda g: g / denom, grads)
+        loss = ls / denom
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, state, opt_state, loss
+
+    def train_step_impl(params, state, opt_state, batch, step, rng, lr):
+        rng = jax.random.fold_in(rng, step)
+        grads, ls, lc, new_state = accumulate(params, state, batch, rng,
+                                              use_pallas)
+        return apply_update(grads, ls, lc, params, new_state, opt_state, lr)
+
+    def eval_step_impl(params, state, batch, tables=None):
+        kwargs = {}
+        if tables is not None:
+            kwargs["inference_tables"] = tables
+        out = apply_fn(params, state, batch, cfg,
+                       deterministic=True, use_pallas=use_pallas, **kwargs)
+        res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
+        if "loss" in out:
+            res["loss"] = out["loss"]
+        return res
+
+    if not shard_pallas:
+        return _StepFns(tx=tx,
+                        train_step=jax.jit(train_step_impl,
+                                           donate_argnums=(0, 1, 2)),
+                        eval_step=jax.jit(eval_step_impl))
+
+    # --------------------------------------------- shard_map (pallas × mesh)
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    rep, dat = P(), P("data")
+
+    def train_step_shard(params, state, opt_state, batch, step, rng, lr):
+        """Per-device body of the shard_map'd train step.
+
+        Runs the Pallas kernels on this device's batch shard, then psums
+        the loss *sums*, valid-token *counts*, and gradients over the
+        ``data`` axis before normalizing — exactly the global-batch
+        gradient, matching what GSPMD inserts for the jnp path (and the
+        reference's DDP all-reduce, run.py:164-167)."""
+        rng = jax.random.fold_in(rng, step)
+        # Decorrelate dropout across shards: GSPMD partitions one global
+        # mask; here each device draws its own stream.
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        grads, ls, lc, new_state = accumulate(params, state, batch, rng,
+                                              pallas=True)
+        ls = jax.lax.psum(ls, "data")
+        lc = jax.lax.psum(lc, "data")
+        grads = jax.lax.psum(grads, "data")
+        if isinstance(new_state, dict) and "resnet" in new_state:
+            # BN running stats: average the per-shard updates. This
+            # approximates global-batch stats (the between-shard variance
+            # of means is lost) — the same approximation torch DDP makes,
+            # except DDP keeps rank-0's purely local stats.
+            new_state = dict(new_state)
+            new_state["resnet"] = jax.lax.pmean(new_state["resnet"], "data")
+        return apply_update(grads, ls, lc, params, new_state, opt_state, lr)
+
+    train_step = jax.jit(
+        shard_map(train_step_shard, mesh=mesh,
+                  in_specs=(rep, rep, rep, dat, rep, rep, rep),
+                  out_specs=(rep, rep, rep, rep),
+                  check_vma=False),
+        donate_argnums=(0, 1, 2))
+
+    eval_cache: Dict[bool, Any] = {}
+
+    def make_sharded_eval(with_loss: bool):
+        out_specs = {"pred_idx": dat}
+        if with_loss:
+            out_specs["loss"] = rep
+
+        def shard_fn(params, state, batch, tables):
+            kwargs = {}
+            if tables is not None:
+                kwargs["inference_tables"] = tables
+            out = apply_fn(params, state, batch, cfg,
+                           deterministic=True, use_pallas=True, **kwargs)
+            res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
+            if with_loss:
+                ls = jax.lax.psum(out["loss_sum"], "data")
+                lc = jax.lax.psum(out["loss_count"], "data")
+                res["loss"] = ls / jnp.maximum(lc, 1.0)
+            return res
+
+        return jax.jit(shard_map(shard_fn, mesh=mesh,
+                                 in_specs=(rep, rep, dat, rep),
+                                 out_specs=out_specs, check_vma=False))
+
+    def sharded_eval_dispatch(params, state, batch, tables=None):
+        # Labels: tgt_idx for CSC/pho-pretrain; res-pretrain's char_idx
+        # doubles as input and label, so its loss is always available.
+        with_loss = "tgt_idx" in batch or (pretrain and "char_idx" in batch)
+        fn = eval_cache.get(with_loss)
+        if fn is None:
+            fn = make_sharded_eval(with_loss)
+            eval_cache[with_loss] = fn
+        return fn(params, state, batch, tables)
+
+    return _StepFns(tx=tx, train_step=train_step,
+                    eval_step=sharded_eval_dispatch)
+
+
+def _step_fns_for(cfg, params, pretrain, use_pallas, shard_pallas,
+                  grad_accum_steps, mesh, adam_epsilon, with_clip) -> _StepFns:
+    key = (_cfg_cache_key(cfg), pretrain, bool(use_pallas), shard_pallas,
+           grad_accum_steps, mesh, adam_epsilon, with_clip,
+           jax.tree.structure(params))
+    fns = _STEP_CACHE.get(key)
+    if fns is None:
+        fns = _build_step_fns(cfg, params, pretrain, use_pallas,
+                              shard_pallas, grad_accum_steps, mesh,
+                              adam_epsilon, with_clip)
+        _STEP_CACHE[key] = fns
+    return fns
 
 
 class Trainer:
@@ -119,16 +306,25 @@ class Trainer:
         self.base_rng = jax.random.PRNGKey(seed)
         self.apply_fn = apply_pretrain if pretrain else apply_realise
 
-        self.tx, self.schedule = make_optimizer(
-            params,
-            learning_rate=learning_rate,
-            warmup_steps=warmup_steps,
-            total_steps=total_steps,
-            weight_decay=weight_decay,
-            adam_epsilon=adam_epsilon,
-            max_grad_norm=max_grad_norm,
-        )
+        fns = _step_fns_for(cfg, params, pretrain, use_pallas,
+                            self._shard_pallas, grad_accum_steps, mesh,
+                            adam_epsilon, with_clip=max_grad_norm is not None)
+        self.tx = fns.tx
+        self._train_step = fns.train_step
+        self._eval_step = fns.eval_step
+        self.schedule = linear_warmup_schedule(learning_rate, warmup_steps,
+                                               total_steps)
         opt_state = self.tx.init(params)
+        # Per-trainer hyperparameters live as leaves in the optimizer state
+        # (optim.make_tx): write this trainer's values over the cached tx's
+        # defaults; the scheduled lr is written per step in train_step.
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            learning_rate, jnp.float32)
+        opt_state.hyperparams["weight_decay"] = jnp.asarray(
+            weight_decay, jnp.float32)
+        if max_grad_norm is not None:
+            opt_state.hyperparams["max_grad_norm"] = jnp.asarray(
+                max_grad_norm, jnp.float32)
 
         if mesh is not None:
             p_sh = param_shardings(params, mesh)
@@ -144,153 +340,6 @@ class Trainer:
 
         self.train_state = TrainState(params=params, state=state,
                                       opt_state=opt_state, step=0)
-
-        if self._shard_pallas:
-            from jax import shard_map
-            from jax.sharding import PartitionSpec as P
-
-            rep, dat = P(), P("data")
-            self._train_step = jax.jit(
-                shard_map(self._train_step_shard, mesh=self.mesh,
-                          in_specs=(rep, rep, rep, dat, rep),
-                          out_specs=(rep, rep, rep, rep),
-                          check_vma=False),
-                donate_argnums=(0, 1, 2))
-            self._sharded_eval_cache: Dict[bool, Any] = {}
-            self._eval_step = self._sharded_eval_dispatch
-        else:
-            self._train_step = jax.jit(self._train_step_impl,
-                                       donate_argnums=(0, 1, 2))
-            self._eval_step = jax.jit(self._eval_step_impl)
-
-    # ------------------------------------------------------------------ steps
-    def _accumulate(self, params, state, batch, rng, use_pallas):
-        """(grads of the loss SUM, loss_sum, loss_count, new_state).
-
-        Always works in unnormalized loss *sums* + valid-token counts —
-        normalized once by the caller — so the microbatch scan is exactly
-        equal to the full-batch gradient even with ragged lengths (the
-        reference averages per-microbatch means, run.py:193-194, which is
-        not), and the shard_map path can psum the same quantities for the
-        exact global-batch gradient."""
-        def sum_loss_fn(p, st, mb, r):
-            out = self.apply_fn(p, st, mb, self.cfg, deterministic=False,
-                                rng=r, train=True, use_pallas=use_pallas)
-            return out["loss_sum"], (out["state"], out["loss_count"])
-
-        vg = jax.value_and_grad(sum_loss_fn, has_aux=True)
-        accum = self.grad_accum_steps
-        if accum == 1:
-            (ls, (new_state, lc)), grads = vg(params, state, batch, rng)
-            return grads, ls, lc, new_state
-
-        def micro(carry, mb):
-            g_acc, sum_acc, cnt_acc, st, i = carry
-            (mls, (st2, mlc)), g = vg(params, st, mb,
-                                      jax.random.fold_in(rng, i))
-            g_acc = jax.tree.map(jnp.add, g_acc, g)
-            return (g_acc, sum_acc + mls, cnt_acc + mlc, st2, i + 1), None
-
-        micro_batches = jax.tree.map(
-            lambda x: x.reshape((accum, x.shape[0] // accum) + x.shape[1:]),
-            batch)
-        zero = jax.tree.map(jnp.zeros_like, params)
-        (grads, ls, lc, new_state, _), _ = jax.lax.scan(
-            micro, (zero, 0.0, 0.0, state, 0), micro_batches)
-        return grads, ls, lc, new_state
-
-    def _train_step_impl(self, params, state, opt_state, batch, step):
-        rng = jax.random.fold_in(self.base_rng, step)
-        grads, ls, lc, new_state = self._accumulate(params, state, batch,
-                                                    rng, self.use_pallas)
-        denom = jnp.maximum(lc, 1.0)
-        grads = jax.tree.map(lambda g: g / denom, grads)
-        loss = ls / denom
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, loss
-
-    def _eval_step_impl(self, params, state, batch, tables=None):
-        kwargs = {}
-        if tables is not None:
-            kwargs["inference_tables"] = tables
-        out = self.apply_fn(params, state, batch, self.cfg,
-                            deterministic=True, use_pallas=self.use_pallas,
-                            **kwargs)
-        res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
-        if "loss" in out:
-            res["loss"] = out["loss"]
-        return res
-
-    # ------------------------------------------- shard_map (pallas × mesh)
-    def _train_step_shard(self, params, state, opt_state, batch, step):
-        """Per-device body of the shard_map'd train step.
-
-        Runs the Pallas kernels on this device's batch shard, then psums
-        the loss *sums*, valid-token *counts*, and gradients over the
-        ``data`` axis before normalizing — exactly the global-batch
-        gradient, matching what GSPMD inserts for the jnp path (and the
-        reference's DDP all-reduce, run.py:164-167)."""
-        rng = jax.random.fold_in(self.base_rng, step)
-        # Decorrelate dropout across shards: GSPMD partitions one global
-        # mask; here each device draws its own stream.
-        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        grads, ls, lc, new_state = self._accumulate(params, state, batch,
-                                                    rng, use_pallas=True)
-        ls = jax.lax.psum(ls, "data")
-        lc = jax.lax.psum(lc, "data")
-        grads = jax.lax.psum(grads, "data")
-        denom = jnp.maximum(lc, 1.0)
-        grads = jax.tree.map(lambda g: g / denom, grads)
-        loss = ls / denom
-        if isinstance(new_state, dict) and "resnet" in new_state:
-            # BN running stats: average the per-shard updates. This
-            # approximates global-batch stats (the between-shard variance
-            # of means is lost) — the same approximation torch DDP makes,
-            # except DDP keeps rank-0's purely local stats.
-            new_state = dict(new_state)
-            new_state["resnet"] = jax.lax.pmean(new_state["resnet"], "data")
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_state, opt_state, loss
-
-    def _make_sharded_eval(self, with_loss: bool):
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        rep, dat = P(), P("data")
-        out_specs = {"pred_idx": dat}
-        if with_loss:
-            out_specs["loss"] = rep
-
-        def shard_fn(params, state, batch, tables):
-            kwargs = {}
-            if tables is not None:
-                kwargs["inference_tables"] = tables
-            out = self.apply_fn(params, state, batch, self.cfg,
-                                deterministic=True, use_pallas=True,
-                                **kwargs)
-            res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
-            if with_loss:
-                ls = jax.lax.psum(out["loss_sum"], "data")
-                lc = jax.lax.psum(out["loss_count"], "data")
-                res["loss"] = ls / jnp.maximum(lc, 1.0)
-            return res
-
-        return jax.jit(shard_map(shard_fn, mesh=self.mesh,
-                                 in_specs=(rep, rep, dat, rep),
-                                 out_specs=out_specs, check_vma=False))
-
-    def _sharded_eval_dispatch(self, params, state, batch, tables=None):
-        # Labels: tgt_idx for CSC/pho-pretrain; res-pretrain's char_idx
-        # doubles as input and label, so its loss is always available.
-        with_loss = "tgt_idx" in batch or (self.pretrain
-                                           and "char_idx" in batch)
-        fn = self._sharded_eval_cache.get(with_loss)
-        if fn is None:
-            fn = self._make_sharded_eval(with_loss)
-            self._sharded_eval_cache[with_loss] = fn
-        return fn(params, state, batch, tables)
 
     # ------------------------------------------------------------------ api
     def _put_batch(self, device_batch: Dict[str, np.ndarray]):
@@ -313,10 +362,16 @@ class Trainer:
     def train_step(self, device_batch: Dict[str, np.ndarray]) -> float:
         self._eval_tables = None  # params change: fast-path tables go stale
         ts = self.train_state
+        # The scheduled lr is evaluated here (host side) and written into
+        # the optimizer state inside the step — schedule shape stays out of
+        # the compiled program (see _build_step_fns).
+        lr = (self.schedule(ts.step) if callable(self.schedule)
+              else self.schedule)
         # Step goes in as an array so the jitted fn does not retrace per step.
         params, state, opt_state, loss = self._train_step(
             ts.params, ts.state, ts.opt_state, self._put_batch(device_batch),
-            jnp.asarray(ts.step, jnp.int32))
+            jnp.asarray(ts.step, jnp.int32), self.base_rng,
+            jnp.asarray(lr, jnp.float32))
         self.train_state = TrainState(params, state, opt_state, ts.step + 1)
         return loss
 

@@ -8,12 +8,14 @@ smoke mode as a subprocess.
 
 import json
 import os
+import pytest
 import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+@pytest.mark.slow
 def test_bench_smoke_json_contract():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"

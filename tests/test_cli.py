@@ -10,6 +10,7 @@ import pytest
 SMOKE = ["--synthetic", "--tiny", "--platform", "cpu", "--seed", "7"]
 
 
+@pytest.mark.slow
 def test_full_reference_workflow(tmp_path):
     """pretrain-pho → pretrain-res → merge → finetune → test: the complete
     reference pipeline (pretrain_pho.sh, pretrain_res.sh, merge.py, train.sh,
@@ -113,6 +114,7 @@ def test_pho_pretrain_features(tokenizer):
     assert not mask[:, 0].any()
 
 
+@pytest.mark.slow
 def test_train_resume(tmp_path):
     """--resume restores params+opt_state+step and continues training."""
     from realise_tpu.cli import train

@@ -9,6 +9,7 @@ real SIGHAN corpora/fonts/pypinyin are unavailable in CI.
 """
 
 import jax
+import pytest
 import numpy as np
 
 from realise_tpu.cli.common import evaluate_model
@@ -21,6 +22,7 @@ from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
 from realise_tpu.training.trainer import Trainer
 
 
+@pytest.mark.slow
 def test_heldout_f1_above_50(tmp_path):
     # Small dedicated vocab: the convergence signal, not capacity, is under
     # test (at 300 tokens the confusion map is learnable in ~100 steps).

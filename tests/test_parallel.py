@@ -94,6 +94,7 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+@pytest.mark.slow
 def test_two_process_training_step(tmp_path):
     """Two real jax.distributed processes train one dp step on a global
     mesh; both must report the identical global loss, process-0 gating must

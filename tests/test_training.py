@@ -53,7 +53,7 @@ def test_loss_decreases_on_overfit(tokenizer):
 
 def test_grad_accum_matches_large_batch(tokenizer):
     """accum=2 over a 8-batch must equal a single 8-batch step (same math)."""
-    cfg, params, state, batch = _setup(tokenizer)
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
     copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
     # Each trainer owns its buffers: train_step donates them.
     tr1 = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
@@ -210,7 +210,7 @@ def test_grad_accum_on_mesh_matches_single_device(tokenizer):
     """grad_accum=2 under a dp×tp mesh equals the meshless accumulated
     update — the batch.reshape((accum, B//accum, ...)) microbatching must
     compose with P('data') batch sharding (round-2, verdict weak #6)."""
-    cfg, params, state, batch = _setup(tokenizer)
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
     copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
     mesh = make_mesh({"data": 2, "model": 4})
     tr_mesh = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
@@ -263,7 +263,7 @@ def test_pallas_shard_map_dp_matches_single_device(tokenizer):
     psum of loss sums/grads; with dropout off the update must equal the
     single-device jnp trainer's exactly (the kernels compute the same math,
     the psum replaces GSPMD's all-reduce)."""
-    cfg, params, state, batch = _setup(tokenizer)
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
     copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
     mesh = make_mesh({"data": 8})
     tr_dp = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
@@ -288,7 +288,7 @@ def test_pallas_shard_map_dp_matches_single_device(tokenizer):
 def test_pallas_shard_map_with_grad_accum(tokenizer):
     """accum=2 microbatching inside the shard_map'd step still equals the
     single-device full-batch update (global-count normalization)."""
-    cfg, params, state, batch = _setup(tokenizer)
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
     copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     tr_dp = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
@@ -307,7 +307,7 @@ def test_pallas_shard_map_with_grad_accum(tokenizer):
 def test_pallas_tp_mesh_falls_back_to_jnp(tokenizer):
     """A tensor-parallel mesh cannot run the kernels (H is split); the
     Trainer must fall back to the partitionable jnp path and still train."""
-    cfg, params, state, batch = _setup(tokenizer)
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
     mesh = make_mesh({"data": 4, "model": 2})
     tr = Trainer(cfg, params, state, learning_rate=1e-3, mesh=mesh,
                  use_pallas=True)
