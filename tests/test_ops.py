@@ -204,3 +204,29 @@ def test_softmax_gate_sums_to_one():
     _, gates = gate_fusion(params, streams, mask, softmax_gate=True,
                            return_gates=True)
     np.testing.assert_allclose(np.asarray(gates.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_host_normal_deterministic_and_distinct():
+    """host_normal (the init draw primitive): same key → identical draw,
+    split keys → decorrelated draws, moments ≈ N(0, std)."""
+    import jax
+
+    from realise_tpu.ops.layers import host_normal
+
+    k = jax.random.PRNGKey(42)
+    a = np.asarray(host_normal(k, (4096,), 0.02))
+    b = np.asarray(host_normal(k, (4096,), 0.02))
+    np.testing.assert_array_equal(a, b)
+
+    k1, k2 = jax.random.split(k)
+    c = np.asarray(host_normal(k1, (4096,), 0.02))
+    d = np.asarray(host_normal(k2, (4096,), 0.02))
+    assert abs(np.corrcoef(c, d)[0, 1]) < 0.1
+    assert abs(c.mean()) < 0.002 and abs(c.std() - 0.02) < 0.002
+
+    # Under jit (tracer key) it falls back to the traced path and still
+    # produces finite draws of the right shape/scale.
+    e = jax.jit(lambda kk: host_normal(kk, (512,), 0.02))(k)
+    e = np.asarray(e)
+    assert e.shape == (512,) and np.isfinite(e).all()
+    assert abs(e.std() - 0.02) < 0.005

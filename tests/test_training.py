@@ -138,6 +138,40 @@ def test_decay_mask_excludes_bias_and_norms(tokenizer):
     assert mask["res"]["resnet"]["block1"]["bn1"]["scale"] is False
 
 
+def test_scheduled_lr_reaches_update(tokenizer):
+    """The per-step scheduled lr is written into the optimizer state inside
+    the jitted step (optim.make_tx hyperparams): at step 0 of a warmup the
+    lr is exactly 0, so params must not move; once past warmup they must.
+    Guards the dynamic-hyperparams plumbing — the DP/accum equality tests
+    compare two trainers and would pass even if both ran at a wrong lr."""
+    cfg, params, state, batch = _setup(tokenizer, model_type="bert")
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    before = copy(params)
+    tr = Trainer(cfg, params, state, learning_rate=1e-3, warmup_steps=10,
+                 total_steps=100)
+    tr.train_step(batch)  # step 0: lr = 0.0 exactly (linear warmup)
+    a = np.asarray(tr.train_state.params["head"]["bias"])
+    np.testing.assert_array_equal(a, np.asarray(before["head"]["bias"]))
+    for _ in range(5):
+        tr.train_step(batch)  # steps 1..5: lr > 0 — params must move
+    b = np.asarray(tr.train_state.params["head"]["bias"])
+    assert not np.array_equal(b, np.asarray(before["head"]["bias"]))
+
+    # weight_decay hyperparam: two trainers differing only in wd share the
+    # compiled step (module cache) yet must produce different updates.
+    t1 = Trainer(cfg, copy(before), copy(state), learning_rate=1e-3,
+                 weight_decay=0.0, seed=11)
+    t2 = Trainer(cfg, copy(before), copy(state), learning_rate=1e-3,
+                 weight_decay=0.5, seed=11)
+    t1.train_step(batch)
+    t2.train_step(batch)
+    k1 = np.asarray(t1.train_state.params["bert"]["encoder"]["attention"]
+                    ["query"]["kernel"])
+    k2 = np.asarray(t2.train_state.params["bert"]["encoder"]["attention"]
+                    ["query"]["kernel"])
+    assert not np.allclose(k1, k2)
+
+
 def test_linear_warmup_schedule():
     sched = linear_warmup_schedule(1.0, warmup_steps=10, total_steps=110)
     assert float(sched(0)) == pytest.approx(0.0)
