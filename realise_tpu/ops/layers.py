@@ -16,6 +16,8 @@ from __future__ import annotations
 from functools import partial
 from typing import Optional
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -96,6 +98,16 @@ def embed(params, ids: jax.Array, dtype=None) -> jax.Array:
 # ------------------------------------------- gather with matmul transpose
 _GATHER_BWD_CHUNK = 4096
 
+# Backward algorithm for table_gather. 'onehot' (default): chunked one-hot
+# matmul-transpose — 2·N·V·H MXU FLOPs but compiles in seconds everywhere.
+# 'sort_segment': argsort the ids and scatter-add with sorted indices —
+# O(N·H) bandwidth instead of a TFLOP of matmul, IF the backend's sorted
+# scatter emitter compiles acceptably (XLA:TPU's unsorted scatter at
+# (V≈21k, H) took minutes, the reason 'onehot' exists; the sorted variant
+# is the candidate to re-measure per toolchain — flip via
+# REALISE_TPU_GATHER_BWD=sort_segment and run bench.py).
+TABLE_GATHER_BWD = os.environ.get("REALISE_TPU_GATHER_BWD", "onehot")
+
 
 def table_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
     """``jnp.take(table, ids, axis=0)`` with a matmul-transpose backward.
@@ -107,9 +119,11 @@ def table_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
     — compiles in seconds, runs on the MXU, and accumulates f32 (better
     summation than bf16 scatter-add). Used by the vocabulary-factorized
     streams (models/realise.py); cotangents never flow to ``ids``.
+    See ``TABLE_GATHER_BWD`` for the bandwidth-bound alternative.
     """
     return _table_gather(table, ids,
-                         (table.shape[0], jnp.dtype(table.dtype).name))
+                         (table.shape[0], jnp.dtype(table.dtype).name,
+                          TABLE_GATHER_BWD))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -122,11 +136,18 @@ def _table_gather_fwd(table, ids, meta):
 
 
 def _table_gather_bwd(meta, ids, ct):
-    v, tdt = meta
+    v, tdt, algo = meta
     flat_ids = ids.reshape(-1)
     h = ct.shape[-1]
     ct2 = ct.reshape(-1, h)
     n = ct2.shape[0]
+    if algo == "sort_segment":
+        order = jnp.argsort(flat_ids)
+        g = jax.ops.segment_sum(
+            ct2[order].astype(jnp.float32), flat_ids[order],
+            num_segments=v, indices_are_sorted=True)
+        return (g.astype(tdt),
+                np.zeros(ids.shape, dtype=jax.dtypes.float0))
     chunk = _GATHER_BWD_CHUNK
     if n <= chunk:
         onehot = jax.nn.one_hot(flat_ids, v, dtype=ct2.dtype)

@@ -230,3 +230,30 @@ def test_host_normal_deterministic_and_distinct():
     e = np.asarray(e)
     assert e.shape == (512,) and np.isfinite(e).all()
     assert abs(e.std() - 0.02) < 0.005
+
+
+def test_table_gather_bwd_algorithms_agree():
+    """Both table_gather backwards — one-hot matmul-transpose (default) and
+    sorted segment-sum (REALISE_TPU_GATHER_BWD=sort_segment) — produce the
+    gradient of jnp.take, including repeated and unused ids."""
+    import jax
+
+    from realise_tpu.ops.layers import _table_gather
+
+    rng = np.random.default_rng(3)
+    v, h, n = 97, 16, 4096 + 37  # n > chunk would be slow here; cover both
+    table = jnp.asarray(rng.standard_normal((v, h)), jnp.float32)
+    ids = jnp.asarray(rng.integers(0, v - 5, size=(n,)), jnp.int32)
+    ct = jnp.asarray(rng.standard_normal((n, h)), jnp.float32)
+
+    def grad_with(algo):
+        meta = (v, "float32", algo)
+        f = lambda t: (_table_gather(t, ids, meta) * ct).sum()
+        return np.asarray(jax.grad(f)(table))
+
+    g_ref = np.zeros((v, h), np.float32)
+    np.add.at(g_ref, np.asarray(ids), np.asarray(ct))
+    g1 = grad_with("onehot")
+    g2 = grad_with("sort_segment")
+    np.testing.assert_allclose(g1, g_ref, atol=1e-4)
+    np.testing.assert_allclose(g2, g_ref, atol=1e-4)
