@@ -32,8 +32,7 @@ def host_normal(key, shape, stddev: float, dtype=jnp.float32):
     is platform-stable and keyed from the jax key's bits, so inits stay
     deterministic per seed with zero compiles. Falls back to the traced
     path when ``key`` is a tracer (init under jit)."""
-    if isinstance(jnp.asarray(key) if not hasattr(key, "dtype") else key,
-                  jax.core.Tracer):
+    if isinstance(key, jax.core.Tracer):
         return stddev * jax.random.normal(key, shape, dtype=dtype)
     kd = np.asarray(jax.random.key_data(key)).ravel()
     seed = (np.uint64(kd[-2]) << np.uint64(32)) | np.uint64(kd[-1])

@@ -55,3 +55,32 @@ def pallas_dims_reason(cfg) -> "str | None":
     if cfg.hidden_size % cfg.num_attention_heads != 0:
         return "hidden_size must divide evenly into attention heads"
     return None
+
+
+def pallas_unviable_reason(cfg, train: bool = False) -> "str | None":
+    """The ONE gating policy for running the fused kernels on this backend
+    (None = viable). Shared by the Trainer and the serving Corrector so the
+    fallback rules cannot drift between them.
+
+    CPU runs the kernels in interpret mode, which has neither Mosaic's
+    (8, 128) tiling rules nor the scoped-vmem budget — always viable
+    (parity tests push tiny dims through deliberately). On a real TPU the
+    dims must satisfy :func:`pallas_dims_reason`, and the training kernels
+    additionally need an FFN split that fits the VMEM budget
+    (bert_block_train._ffn_splits raises when none exists)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    reason = pallas_dims_reason(cfg)
+    if reason is None and train:
+        import jax.numpy as jnp
+
+        from realise_tpu.ops.pallas.bert_block_train import _ffn_splits
+
+        try:
+            _ffn_splits(cfg.hidden_size, cfg.intermediate_size,
+                        jnp.dtype(cfg.dtype).itemsize)
+        except ValueError as e:
+            reason = str(e)
+    return reason

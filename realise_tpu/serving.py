@@ -60,13 +60,12 @@ class Corrector:
         self.state = jax.tree.map(jax.numpy.asarray, restored["state"])
         self.batch_size = batch_size
         use_pallas = auto_use_pallas(use_pallas)
-        if use_pallas and jax.default_backend() == "tpu":
-            from realise_tpu.ops.pallas import pallas_dims_reason
+        if use_pallas:
+            from realise_tpu.ops.pallas import pallas_unviable_reason
 
-            reason = pallas_dims_reason(self.cfg)
-            if reason is not None:
-                # Tiny/nonstandard dims violate Mosaic's (8, 128) tiling
-                # rules on a real chip — serve on the jnp path instead.
+            # Tiny/nonstandard dims violate Mosaic's tiling rules on a
+            # real chip — serve on the jnp path instead (shared gate).
+            if pallas_unviable_reason(self.cfg) is not None:
                 use_pallas = False
 
         if vocab_path:

@@ -278,24 +278,14 @@ class Trainer:
                 logger.info("use_pallas disabled under a tensor-parallel "
                             "mesh (fused kernels need the full hidden dim)")
                 use_pallas = False
-        if use_pallas and jax.default_backend() == "tpu":
-            # Nonstandard dims break the fused kernels two ways on a real
-            # chip: Mosaic's (8, 128) tiling rules (pallas_dims_reason) and
-            # the fused FFN backward's scoped-vmem budget (_ffn_splits) —
-            # fall back to the jnp path instead of dying mid-setup.
-            # CPU interpret mode has neither constraint (parity tests run
-            # tiny dims through the kernels deliberately), so only gate on
-            # TPU.
-            from realise_tpu.ops.pallas import pallas_dims_reason
-            from realise_tpu.ops.pallas.bert_block_train import _ffn_splits
+        if use_pallas:
+            # Nonstandard dims break the fused kernels on a real chip
+            # (Mosaic tiling rules + the FFN backward's scoped-vmem
+            # budget); the shared gate falls back to the jnp path instead
+            # of dying mid-setup (ops/pallas.pallas_unviable_reason).
+            from realise_tpu.ops.pallas import pallas_unviable_reason
 
-            reason = pallas_dims_reason(cfg)
-            if reason is None:
-                try:
-                    _ffn_splits(cfg.hidden_size, cfg.intermediate_size,
-                                jnp.dtype(cfg.dtype).itemsize)
-                except ValueError as e:
-                    reason = str(e)
+            reason = pallas_unviable_reason(cfg, train=True)
             if reason is not None:
                 logger.info("use_pallas disabled: %s", reason)
                 use_pallas = False

@@ -44,13 +44,18 @@ def enable_persistent_compile_cache(cache_dir: Optional[str] = None) -> Optional
         return None
     import jax
 
-    # CPU-only runs skip it: XLA:CPU persists AOT executables keyed by
+    # CPU backend skips it: XLA:CPU persists AOT executables keyed by
     # fine-grained host CPU features, and reloading them logs machine-
     # feature-mismatch errors (and risks SIGILL) even on the same box.
     # The cold start this cache exists to kill is the TPU conv compile.
+    # Explicit platform settings avoid touching the backend; otherwise ask
+    # the resolved backend (initializes it — callers are about to anyway).
     platforms = (os.environ.get("JAX_PLATFORMS", "")
                  or (jax.config.jax_platforms or ""))
-    if platforms.split(",")[0].strip().lower() == "cpu":
+    platform = platforms.split(",")[0].strip().lower()
+    if not platform:
+        platform = jax.default_backend()
+    if platform == "cpu":
         return None
 
     cache_dir = (cache_dir
@@ -85,13 +90,29 @@ def _table_path(cache_dir: str, digest: str) -> str:
     return os.path.join(cache_dir, f"{_TABLE_CACHE_VERSION}-{digest}.npz")
 
 
+_DTYPE_KEY = "__dtype__"
+
+
 def load_tables(cache_dir: str, digest: str) -> Optional[Dict[str, np.ndarray]]:
     path = _table_path(cache_dir, digest)
     if not os.path.exists(path):
         return None
     try:
         with np.load(path) as z:
-            out = {k: z[k] for k in z.files}
+            out = {}
+            for k in z.files:
+                if k.endswith(_DTYPE_KEY):
+                    continue
+                a = z[k]
+                dt = (z[k + _DTYPE_KEY]
+                      if k + _DTYPE_KEY in z.files else None)
+                if dt is not None:
+                    # Stored as a raw uint16/uint8 view (np can't round-trip
+                    # ml_dtypes like bfloat16 through savez) — view back.
+                    import ml_dtypes  # noqa: F401  (registers the dtypes)
+
+                    a = a.view(np.dtype(str(dt)))
+                out[k] = a
         logger.info("serving tables: cache hit (%s)", path)
         return out
     except Exception as e:  # corrupt/partial file: rebuild
@@ -103,14 +124,34 @@ def save_tables(cache_dir: str, digest: str,
                 tables: Dict[str, np.ndarray]) -> None:
     os.makedirs(cache_dir, exist_ok=True)
     path = _table_path(cache_dir, digest)
+    enc: Dict[str, np.ndarray] = {}
+    for k, v in tables.items():
+        a = np.asarray(v)
+        if a.dtype.kind == "V" or not _npz_roundtrips(a.dtype):
+            # bfloat16 (the TPU serving dtype) and friends: savez writes
+            # them but np.load cannot read the entry back — store a raw
+            # same-width view plus the dtype name.
+            width = a.dtype.itemsize
+            view = {1: np.uint8, 2: np.uint16, 4: np.uint32,
+                    8: np.uint64}[width]
+            enc[k] = a.view(view)
+            enc[k + _DTYPE_KEY] = np.array(str(a.dtype))
+        else:
+            enc[k] = a
     # np.savez appends .npz when absent — keep the suffix so the atomic
     # rename targets the file savez actually wrote.
     tmp = path + f".{os.getpid()}.tmp.npz"
     try:
-        np.savez(tmp, **{k: np.asarray(v) for k, v in tables.items()})
+        np.savez(tmp, **enc)
         os.replace(tmp, path)  # atomic vs concurrent writers
         logger.info("serving tables: cached to %s", path)
     except Exception as e:
         logger.warning("serving-table cache write failed (%s): %s", path, e)
         if os.path.exists(tmp):
             os.remove(tmp)
+
+
+def _npz_roundtrips(dtype: np.dtype) -> bool:
+    """True when np.load can read back a savez entry of this dtype (the
+    builtin numeric/bool dtypes); ml_dtypes extension types cannot."""
+    return dtype.kind in "biufc"

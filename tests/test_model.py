@@ -141,6 +141,29 @@ def test_inference_table_cache_roundtrip(featurized, tokenizer, tmp_path):
     assert not np.allclose(np.asarray(t1["pho"]), np.asarray(t3["pho"]))
 
 
+def test_table_cache_roundtrips_bfloat16(tmp_path):
+    """bfloat16 (the TPU serving dtype) cannot round-trip through np.savez
+    natively — the cache stores a raw view + dtype sidecar. A cache that
+    only works for f32 would silently rebuild every time in production."""
+    import ml_dtypes
+
+    from realise_tpu.utils.cache import load_tables, save_tables
+
+    rng = np.random.default_rng(0)
+    tables = {
+        "res": rng.standard_normal((7, 5)).astype(ml_dtypes.bfloat16),
+        "pho": rng.standard_normal((7, 5)).astype(np.float32),
+    }
+    save_tables(str(tmp_path), "abc", tables)
+    out = load_tables(str(tmp_path), "abc")
+    assert out is not None, "bf16 table did not survive the npz round-trip"
+    for k in tables:
+        assert out[k].dtype == tables[k].dtype
+        np.testing.assert_array_equal(
+            out[k].view(np.uint16) if k == "res" else out[k],
+            tables[k].view(np.uint16) if k == "res" else tables[k])
+
+
 def test_loss_decreases_with_identity_labels(featurized):
     """Sanity: loss on tgt==src with tied head should beat random labels."""
     cfg, batch = featurized
