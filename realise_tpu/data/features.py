@@ -122,13 +122,20 @@ class Featurizer:
         loss_masks = np.zeros((b, s), dtype=np.int32)
 
         for i, ex in enumerate(examples):
-            seq = ex["src_idx"][:s]
+            seq = ex["src_idx"]
+            tseq = ex["tgt_idx"]
+            if len(seq) > s:
+                # Truncate BERT-style: keep [CLS] + s-2 content + [SEP]
+                # (the trailing id of the untruncated sequence IS the SEP).
+                # Matches the native featurizer's layout exactly.
+                seq = list(seq[: s - 1]) + [seq[-1]]
+                tseq = list(tseq[: s - 1]) + [tseq[-1]]
             src_idx[i, : len(seq)] = seq
             masks[i, : len(seq)] = 1
-            tseq = ex["tgt_idx"][:s]
             tgt_idx[i, : len(tseq)] = tseq
-            # loss positions 1..length (excl [CLS]/[SEP], run.py:87-92).
-            upper = min(1 + ex["lengths"], s)
+            # loss positions 1..length (excl [CLS]/[SEP], run.py:87-92);
+            # capped at s-2 content positions when truncated.
+            upper = min(1 + ex["lengths"], s - 1)
             loss_masks[i, 1:upper] = 1
 
         batch = {
@@ -198,19 +205,28 @@ class Featurizer:
         return batch
 
     def cjk_token_mask(self) -> np.ndarray:
-        """(V,) bool: vocab tokens that are single Chinese chars."""
-        from realise_tpu.text.tokenizer import is_chinese_char
+        """(V,) bool: vocab tokens that are single Chinese chars. Memoized —
+        the pho-pretrain loader needs it per batch and the O(V) Python pass
+        would otherwise sit on the input-pipeline critical path."""
+        if getattr(self, "_cjk_mask", None) is None:
+            from realise_tpu.text.tokenizer import is_chinese_char
 
-        vocab = self.tokenizer.convert_ids_to_tokens(range(len(self.tokenizer)))
-        return np.asarray(
-            [len(t) == 1 and is_chinese_char(ord(t)) for t in vocab], bool)
+            vocab = self.tokenizer.convert_ids_to_tokens(
+                range(len(self.tokenizer)))
+            self._cjk_mask = np.asarray(
+                [len(t) == 1 and is_chinese_char(ord(t)) for t in vocab],
+                bool)
+        return self._cjk_mask
 
     def featurize_pho_pretrain(self, examples: Sequence[Dict]) -> Dict:
         """Phonetic-pretrain features: the model must recover each char from
         its pinyin alone, so inputs are the *target* ids and the loss covers
         Chinese-char positions only (reference: run_pretrain.py:56-69,
         src/models.py:1318-1347)."""
-        batch = self.featurize(examples, with_labels=True)
+        # with_pho=False: the pho tables are regathered below from the new
+        # src_idx (= tgt_idx); gathering them from the original src first
+        # would be thrown away.
+        batch = self.featurize(examples, with_labels=True, with_pho=False)
         batch["src_idx"] = batch["tgt_idx"].copy()
         cjk = self.cjk_token_mask()
         batch["loss_masks"] = (

@@ -72,6 +72,11 @@ class Metric:
     def process_batch_item(self, batch: Mapping, idx: int) -> Tuple[str, str]:
         """Reconstruct predicted text for one example and diff it vs source."""
         length = int(batch["lengths"][idx])
+        # Truncated examples keep [CLS] + width-2 content + [SEP]
+        # (data/features.py), so only width-2 predictions exist; the
+        # reference never truncates (its data prep bounds lengths), so this
+        # cap is outside its behavior surface.
+        length = min(length, int(np.asarray(batch["src_idx"]).shape[1]) - 2)
 
         pred_idx = np.asarray(batch["pred_idx"][idx]).tolist()
         # Positions 1..length hold the sentence (0 is [CLS], length+1 is [SEP];

@@ -47,18 +47,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from realise_tpu.config import PHO1_VOCAB_SIZE, PHO2_VOCAB_SIZE, RealiseConfig
-from realise_tpu.ops.bert import (
-    attention_bias_from_mask,
-    bert_encoder,
-    bert_model,
-    init_bert_model,
-)
+from realise_tpu.ops.bert import bert_model, init_bert_model
 from realise_tpu.ops.fusion import (
     concat_fusion,
     gate_fusion,
     init_concat_fusion,
     init_gate_fusion,
-    masked_mean_pool,
     sum_fusion,
 )
 from realise_tpu.ops.gru import gru_last_hidden, init_gru
@@ -446,20 +440,25 @@ def apply_realise(
     # when the vocab pinyin tables were installed in state (init_realise
     # pho_tables) and the batch has more token slots than vocab entries.
     vocab_pho = None
-    factorized = False
+    pho_factorized = False
     if "pho_vocab_idx" in state:
         vocab_pho = (state["pho_vocab_idx"], state["pho_vocab_lens"])
-        factorized = b_tokens > state["pho_vocab_idx"].shape[0]
-        if factorized:
+        pho_factorized = b_tokens > state["pho_vocab_idx"].shape[0]
+        if pho_factorized:
             # The factorized scans run over V rows with tiny constant
             # inputs; their stashes are batch-size-independent, so remat
             # buys nothing.
             pho_remat = False
+    # The conv stream factorizes independently of the pho tables — it only
+    # needs the glyph table (pho1-res and --with_pho-off ablations have no
+    # pho_vocab_idx but gain the same ~35% conv-FLOP cut at bench batch).
+    res_factorized = (cfg.with_res
+                      and b_tokens > state["char_images"].shape[0])
     # Unfactorized conv stash is ~1 GB per 32768 token slots — fits v5e
     # HBM at the bench batch (B=256, S=128) once the GRU is handled, and
     # storing it beats remating by ~7%; past that it must remat. The
     # factorized conv stash scales with V, not B — never remat it.
-    res_remat = train_mode and not factorized and b_tokens > 32768
+    res_remat = train_mode and not res_factorized and b_tokens > 32768
 
     new_state = state
     res_h = None
@@ -468,7 +467,7 @@ def apply_realise(
                                           train, res_table=tables.get("res"),
                                           apply_ln=not merged,
                                           remat=res_remat,
-                                          per_vocab=factorized)
+                                          per_vocab=res_factorized)
         new_state = dict(state)
         new_state["resnet"] = res_bn_state
 
@@ -714,13 +713,13 @@ def apply_pretrain(
                         site_rng(rng, 1))
         logits = apply_head(params["head"], cfg, feats, None)
         out = {"logits": logits, "state": new_state}
-        if "char_idx" in batch:
-            n = batch["char_idx"].shape[0]
-            ls, lc = masked_cross_entropy_sum(
-                logits[:, None, :], batch["char_idx"][:, None],
-                jnp.ones((n, 1), jnp.int32))
-            out["loss_sum"], out["loss_count"] = ls, lc
-            out["loss"] = ls / jnp.maximum(lc, 1.0)
+        # char_idx doubles as input and label, so the loss always exists.
+        n = batch["char_idx"].shape[0]
+        ls, lc = masked_cross_entropy_sum(
+            logits[:, None, :], batch["char_idx"][:, None],
+            jnp.ones((n, 1), jnp.int32))
+        out["loss_sum"], out["loss_count"] = ls, lc
+        out["loss"] = ls / jnp.maximum(lc, 1.0)
         return out
 
     # pho2-pretrain / pho2-res-pretrain operate on full sequences.

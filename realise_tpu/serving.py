@@ -153,9 +153,43 @@ class Corrector:
         host["pred_idx"] = preds
         out = []
         for i in range(n):
-            pred_txt, _ = self.metric.process_batch_item(host, i)
-            out.append(pred_txt.split("\t", 1)[1])
+            out.append(self._reconstruct(sentences[i], host, i))
         return out
+
+    def _reconstruct(self, src: str, host, i) -> str:
+        """Splice predicted tokens back into the ORIGINAL sentence.
+
+        The metric-path reconstruction (eval/metric.py, reference parity)
+        rebuilds text from token widths alone, which drops whatever the
+        tokenizer dropped — a sentence with a space comes back shifted and
+        one char short. Serving instead maps each token to its source span
+        (tokenize_with_spans) and substitutes only clean same-width
+        corrections, so whitespace, casing, and un-tokenizable characters
+        of the user's input survive untouched."""
+        spans = self.tokenizer.tokenize_with_spans(src)
+        length = int(host["lengths"][i])
+        pred_ids = np.asarray(host["pred_idx"][i]).tolist()[1 : 1 + length]
+        pred_tokens = self.tokenizer.convert_ids_to_tokens(pred_ids)
+        if len(spans) != length:
+            # Span tokenization disagrees with the featurizer (never-split
+            # specials in raw text, native-path divergence): fall back to
+            # the reference-style width reconstruction.
+            pred_txt, _ = self.metric.process_batch_item(host, i)
+            return pred_txt.split("\t", 1)[1]
+        out = list(src)
+        unk = self.tokenizer.unk_token
+        for (tok, a, b), pred in zip(spans, pred_tokens):
+            if pred == tok or pred == unk or tok == unk:
+                # tok == unk: the model never saw the original char (it got
+                # the [UNK] embedding), so its output there is not a
+                # correction of anything — keep the user's text.
+                continue
+            piece = pred[2:] if pred.startswith("##") else pred
+            if len(piece) == b - a:
+                out[a:b] = piece
+            # width mismatch (multi-char [UNK] span, accent-stripped word):
+            # no faithful per-char mapping exists — keep the original.
+        return "".join(out)
 
     def correct(self, sentences: Sequence[str]) -> List[str]:
         """Any number of sentences, chunked into device batches."""

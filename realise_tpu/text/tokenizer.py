@@ -213,6 +213,73 @@ class WordPieceTokenizer:
             pieces.extend(self.wordpiece.tokenize(token))
         return pieces
 
+    def tokenize_with_spans(self, text: str):
+        """``tokenize`` plus [start, end) char offsets into the ORIGINAL text.
+
+        The eval/metric path reconstructs text the reference's way (token
+        widths only, src/metric.py:47-61) — faithful but lossy for inputs
+        the tokenizer drops chars from (whitespace, control) or collapses
+        (multi-char [UNK]). Serving uses these spans to splice corrections
+        back into the user's original string instead (serving.Corrector).
+
+        Token sequence equals ``tokenize(text)`` for text without
+        never-split specials. Pieces whose normalized length differs from
+        the source span (accent stripping) share the word's span: the first
+        piece gets it, the rest are zero-width at its end.
+        """
+        spans: List[tuple] = []
+        for word, a, b in self._basic_word_spans(text):
+            norm = word
+            if self.basic.do_lower_case:
+                norm = self.basic._strip_accents(norm.lower())
+            if not norm:
+                continue
+            pieces = self.wordpiece.tokenize(norm)
+            widths = [len(p) - 2 if p.startswith("##") else len(p)
+                      for p in pieces]
+            if len(pieces) > 1 and sum(widths) == b - a:
+                off = a
+                for p, w in zip(pieces, widths):
+                    spans.append((p, off, off + w))
+                    off += w
+            else:
+                spans.append((pieces[0], a, b))
+                for p in pieces[1:]:
+                    spans.append((p, b, b))
+        return spans
+
+    def _basic_word_spans(self, text: str):
+        """(word, start, end) triples replicating BasicTokenizer's splitting
+        (clean → CJK isolation → whitespace split → punct split) while
+        keeping offsets into the raw input. Dropped chars (control, U+0000,
+        U+FFFD) simply never start or extend a word."""
+        words: List[tuple] = []
+        cur: List[str] = []
+        cur_start = 0
+
+        def flush(end: int):
+            if cur:
+                words.append(("".join(cur), cur_start, end))
+                cur.clear()
+
+        for i, ch in enumerate(text):
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                flush(i)
+                continue
+            if _is_whitespace(ch):
+                flush(i)
+                continue
+            if is_chinese_char(cp) or _is_punctuation(ch):
+                flush(i)
+                words.append((ch, i, i + 1))
+                continue
+            if not cur:
+                cur_start = i
+            cur.append(ch)
+        flush(len(text))
+        return words
+
     def convert_tokens_to_ids(self, tokens: Iterable[str]) -> List[int]:
         unk_id = self.vocab[self.unk_token]
         return [self.vocab.get(t, unk_id) for t in tokens]

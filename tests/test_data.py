@@ -112,7 +112,10 @@ def test_truncation_at_max_seq_length(tokenizer):
                              max_len=12, seed=8)
     batch = feat.featurize(data)
     assert batch["src_idx"].shape == (2, 8)
-    assert batch["loss_masks"][:, -1].tolist() == [1, 1]  # truncated fill
+    # BERT-style truncation: the last slot is [SEP], not a loss position.
+    assert batch["src_idx"][:, -1].tolist() == [tokenizer.sep_token_id] * 2
+    assert batch["loss_masks"][:, -1].tolist() == [0, 0]
+    assert batch["loss_masks"][:, -2].tolist() == [1, 1]
 
 
 def test_bucketed_batch_iterator(tokenizer):
@@ -148,3 +151,27 @@ def test_threaded_prefetch_order_and_errors():
 
     with _pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_featurize_truncation_keeps_sep(tokenizer):
+    """Overlong examples truncate BERT-style — [CLS] + s-2 content + [SEP] —
+    matching the native featurizer's layout (previously the python path
+    hard-cut at s, dropping [SEP] and keeping one extra content token)."""
+    from realise_tpu.config import config_for
+    from realise_tpu.data.features import Featurizer, make_example
+
+    cfg = config_for("bert", vocab_size=len(tokenizer), max_seq_length=8)
+    feat = Featurizer(tokenizer, cfg)
+    ex = make_example("1", "好" * 30, "好" * 30, tokenizer)
+    batch = feat.featurize([ex], seq_len=8)
+    row = batch["src_idx"][0]
+    assert row[0] == tokenizer.cls_token_id
+    assert row[7] == tokenizer.sep_token_id
+    assert (row[1:7] == tokenizer.vocab["好"]).all()
+    # loss covers content positions only (1..6), never the [SEP] slot.
+    assert batch["loss_masks"][0].tolist() == [0, 1, 1, 1, 1, 1, 1, 0]
+    # Short examples unchanged.
+    ex2 = make_example("2", "好好", "好好", tokenizer)
+    b2 = feat.featurize([ex2], seq_len=8)
+    assert b2["src_idx"][0][3] == tokenizer.sep_token_id
+    assert b2["loss_masks"][0].tolist() == [0, 1, 1, 0, 0, 0, 0, 0]

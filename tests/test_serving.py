@@ -141,3 +141,22 @@ def test_show_gate_row_count_exact(ckpt_dir, tmp_path):
     assert rc == 0
     rows = open(out, encoding="utf-8").read().splitlines()[1:]
     assert len(rows) == expected
+
+
+def test_corrector_preserves_dropped_chars(corrector):
+    """Inputs with chars the tokenizer drops (spaces) or non-vocab ASCII
+    must come back length-preserved with those chars intact — the serving
+    splice maps tokens to source spans instead of rebuilding from token
+    widths (which loses the space and shifts everything after it)."""
+    src = "我爱 北京。"
+    out = corrector.correct([src])[0]
+    assert len(out) == len(src)
+    assert out[2] == " "
+    # Mixed input: length survives; [UNK] source spans (the model saw only
+    # the [UNK] embedding there) keep the user's original chars. In-vocab
+    # tokens may be rewritten by the (random-weight) model — that's a model
+    # output, not a reconstruction bug.
+    src2 = "我爱Ω北京"
+    out2 = corrector.correct([src2])[0]
+    assert len(out2) == len(src2)
+    assert out2[2] == "Ω"

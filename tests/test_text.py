@@ -339,3 +339,20 @@ def test_pinyin_table_against_pypinyin():
     assert not exact_bad, exact_bad[:20]
     assert len(base_bad) / max(n_inferred, 1) < 0.05, base_bad[:20]
     assert tone_bad / max(n_inferred, 1) < 0.35
+
+
+def test_tokenize_with_spans_matches_tokenize(tokenizer):
+    """Span tokenization must produce the same token sequence as tokenize()
+    and spans that index the ORIGINAL string (whitespace preserved)."""
+    cases = ["我爱 北京。", "hello 世界", "a,b，好", "  好  ",
+             "今天天气很好", "Héllo 好"]
+    for text in cases:
+        spans = tokenizer.tokenize_with_spans(text)
+        assert [t for t, _, _ in spans] == tokenizer.tokenize(text), text
+        for tok, a, b in spans:
+            assert 0 <= a <= b <= len(text), (text, tok, a, b)
+            piece = tok[2:] if tok.startswith("##") else tok
+            if piece != tokenizer.unk_token and b - a == len(piece):
+                # lowercased/accent-stripped match of the source slice
+                src_norm = tokenizer.basic._strip_accents(text[a:b].lower())
+                assert src_norm == piece or text[a:b] == piece, (text, tok)
