@@ -179,8 +179,13 @@ def build_mesh(args):
 
     axes = {}
     for part in args.mesh.split(","):
-        name, _, n = part.partition("=")
-        axes[name.strip()] = int(n)
+        name, eq, n = part.partition("=")
+        name = name.strip()
+        if not eq or not name or not n.strip().isdigit():
+            raise SystemExit(
+                f"--mesh: bad axis {part!r} — expected name=count pairs "
+                f"like 'data=8' or 'data=4,model=2'")
+        axes[name] = int(n)
     return make_mesh(axes)
 
 
@@ -215,9 +220,21 @@ def evaluate_model(
     batch skips the live GRU scan + conv stack — ~2× eval throughput."""
     os.makedirs(os.path.join(out_dir, prefix) if prefix else out_dir,
                 exist_ok=True)
+    from realise_tpu.parallel.distributed import (
+        is_main_process,
+        local_slice,
+        process_count,
+        process_index,
+    )
+
+    # Multi-host: every process computes identical metrics (predictions are
+    # allgathered), but concurrent writes to shared storage would tear the
+    # very files this function then reads back to score — non-main
+    # processes write to process-suffixed paths instead.
+    suffix = "" if is_main_process() else f".p{process_index()}"
     if label_path is None:
         # Derive gold labels from the dataset's src/tgt texts.
-        label_path = os.path.join(out_dir, prefix, "gold.lbl.tsv")
+        label_path = os.path.join(out_dir, prefix, f"gold.lbl.tsv{suffix}")
         with open(label_path, "w", encoding="utf-8") as f:
             f.write("\n".join(dataset_labels(dataset)))
 
@@ -227,8 +244,6 @@ def evaluate_model(
     # Iterate UNPADDED so n is the true example count; pad to batch_size only
     # for the (static-shape) device step and slice every field back to n.
     # The reference's evaluate() never duplicates rows (run.py:239-280).
-    from realise_tpu.parallel.distributed import local_slice, process_count
-
     if use_fast_path and hasattr(trainer, "prepare_eval_tables"):
         trainer.prepare_eval_tables(featurizer)
 
@@ -243,9 +258,22 @@ def evaluate_model(
             # carries metric bookkeeping fields.
             host_batch = featurizer.featurize(padded, with_pho=False)
             feed = featurizer.featurize(local_slice(padded))
+            # Which global rows this process holds (contiguous slices).
+            share = feed["loss_masks"].shape[0]
+            row0 = process_index() * share
         else:
             host_batch = featurizer.featurize(padded)
             feed = host_batch
+            row0 = 0
+        # Padded rows repeat real examples; zero their loss positions so the
+        # device-side loss (sum/count) covers REAL tokens only — otherwise
+        # the final short batch's mean is dominated by the duplicated row.
+        if n < batch_size:
+            feed = dict(feed)
+            lm = np.array(feed["loss_masks"], copy=True)
+            cut = max(0, min(n - row0, lm.shape[0]))
+            lm[cut:] = 0
+            feed["loss_masks"] = lm
         out = trainer.eval_step(featurizer.device_batch(feed))
         host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]
         for k in ("src_idx", "masks", "loss_masks"):
@@ -253,21 +281,21 @@ def evaluate_model(
         for k in ("id", "src", "tgt", "tokens_size", "lengths"):
             host_batch[k] = host_batch[k][:n]
         if "loss" in out:
-            # Padded rows repeat real examples, so the batch loss is still a
-            # mean over valid-shaped rows; weight by n for the dataset mean.
+            # out["loss"] is the mean over this batch's real loss tokens;
+            # weight by that token count for the exact dataset-mean loss.
             losses.append(float(out["loss"]))
-            weights.append(n)
+            weights.append(int(np.asarray(host_batch["loss_masks"]).sum()))
         batches.append(host_batch)
 
     metric = Metric(tokenizer)
     results = metric.metric(
         batches,
-        pred_txt_path=os.path.join(out_dir, prefix, "preds.txt"),
-        pred_lbl_path=os.path.join(out_dir, prefix, "labels.txt"),
+        pred_txt_path=os.path.join(out_dir, prefix, f"preds.txt{suffix}"),
+        pred_lbl_path=os.path.join(out_dir, prefix, f"labels.txt{suffix}"),
         label_path=label_path,
         should_remove_de=should_remove_de,
     )
-    if losses:
+    if losses and sum(weights) > 0:
         results["avg_loss"] = float(np.average(losses, weights=weights))
     return results
 

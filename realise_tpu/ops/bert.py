@@ -289,6 +289,8 @@ def bert_model(
     position ids (ReaLiSe passes zeros into the output block), and the local
     ``other_embeds`` extension as ``extra_embeds``.
     """
+    if input_ids is None and inputs_embeds is None:
+        raise ValueError("need input_ids or inputs_embeds")
     if attention_mask is None:
         ref = input_ids if input_ids is not None else inputs_embeds[..., 0]
         attention_mask = jnp.ones(ref.shape[:2], dtype=jnp.int32)

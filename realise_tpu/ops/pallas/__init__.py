@@ -67,9 +67,16 @@ def pallas_unviable_reason(cfg, train: bool = False) -> "str | None":
     (parity tests push tiny dims through deliberately). On a real TPU the
     dims must satisfy :func:`pallas_dims_reason`, and the training kernels
     additionally need an FFN split that fits the VMEM budget
-    (bert_block_train._ffn_splits raises when none exists)."""
+    (bert_block_train._ffn_splits raises when none exists). The activation
+    check applies on EVERY backend: the fused FFN kernels hardcode exact
+    erf-gelu (forward and the _gelu_grad backward), so any other
+    hidden_act must take the jnp path or it would silently compute the
+    wrong function."""
     import jax
 
+    if cfg.hidden_act != "gelu":
+        return (f"hidden_act {cfg.hidden_act!r} is not supported by the "
+                f"fused FFN kernels (they hardcode erf-gelu)")
     if jax.default_backend() != "tpu":
         return None
     reason = pallas_dims_reason(cfg)

@@ -171,13 +171,17 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
         brow = bias_ref[0][0:1, :]
         ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
                               p_rate)
+        # Round the out-projection (and the dropout scaling) to the
+        # activation dtype before the residual — the module contract, and
+        # what the jnp path and the serving kernel (bert_block.py) compute.
         attn = (jnp.dot(ctx, wo_ref[:],
-                        preferred_element_type=jnp.float32)
-                + bo_ref[:].astype(jnp.float32))
+                        preferred_element_type=jnp.float32).astype(dtype)
+                + bo_ref[:].astype(dtype))
         if h_rate > 0.0:
             base = _site_base(seed_s, _SITE_ATTN_OUT, i)
-            attn = attn * _keep_mask(base, s, hdim, 1.0 - h_rate)
-        z32 = xf.astype(jnp.float32) + attn
+            attn = (attn.astype(jnp.float32)
+                    * _keep_mask(base, s, hdim, 1.0 - h_rate)).astype(dtype)
+        z32 = xf.astype(jnp.float32) + attn.astype(jnp.float32)
         o_ref[0] = _ln(z32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
 
     xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
@@ -262,13 +266,16 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
         ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
                               p_rate)
         ctx_ref[0] = ctx
-        attn = (jnp.dot(ctx, wo_ref[:], preferred_element_type=jnp.float32)
-                + bo_ref[:].astype(jnp.float32))
+        # Same rounding as the forward (activation dtype at the out-proj
+        # and after dropout) so the recomputed z32 is bit-identical.
+        attn = (jnp.dot(ctx, wo_ref[:],
+                        preferred_element_type=jnp.float32).astype(dtype)
+                + bo_ref[:].astype(dtype))
         if h_rate > 0.0:
             base = _site_base(seed_s, _SITE_ATTN_OUT, i)
             keep_h = _keep_mask(base, s, hdim, 1.0 - h_rate)
-            attn = attn * keep_h
-        z32 = xf.astype(jnp.float32) + attn
+            attn = (attn.astype(jnp.float32) * keep_h).astype(dtype)
+        z32 = xf.astype(jnp.float32) + attn.astype(jnp.float32)
 
         dy32 = dy_ref[0].astype(jnp.float32)
         dz, dgamma, dbeta = _ln_bwd(z32, dy32, g_ref[:], eps)
@@ -427,7 +434,10 @@ def _attn_train_bwd(num_heads, eps, p_rate, h_rate, interpret, res, dy):
         interpret = _default_interpret()
     dx, dparams = _attn_bwd_impl(x, attn_params, bias, seed, dy,
                                  num_heads, eps, p_rate, h_rate, interpret)
-    dbias = jnp.zeros_like(bias, dtype=jnp.result_type(bias, jnp.float32)) \
+    # Cotangent dtype must equal the primal's (bf16 bias → bf16 zeros);
+    # jax's custom_vjp dtype check only tolerates f32-for-bf16 via a
+    # deprecated escape hatch.
+    dbias = jnp.zeros_like(bias) \
         if jnp.issubdtype(bias.dtype, jnp.floating) \
         else np.zeros(bias.shape, dtype=jax.dtypes.float0)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)

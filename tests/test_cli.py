@@ -158,3 +158,36 @@ def test_pho_pretrain_token_accuracy_ragged(tokenizer):
     a = token_accuracy(tr, data, feat, batch_size=8)   # ragged: 8 + 2
     b = token_accuracy(tr, data, feat, batch_size=16)  # single ragged batch
     assert a["accuracy"] == b["accuracy"]
+
+
+def test_evaluate_model_avg_loss_unbiased_by_padding(tokenizer, tmp_path):
+    """avg_loss must be the true dataset token-mean regardless of batch
+    size: the final short batch pads by repeating the last example, and
+    those duplicate rows' loss tokens must not count (they previously
+    dominated the last batch's mean)."""
+    import jax
+
+    from realise_tpu.cli.common import evaluate_model
+    from realise_tpu.config import config_for
+    from realise_tpu.data.dataset import synthetic_dataset
+    from realise_tpu.data.features import Featurizer
+    from realise_tpu.models.realise import init_realise
+    from realise_tpu.training.trainer import Trainer
+
+    cfg = config_for("bert", vocab_size=len(tokenizer), hidden_size=16,
+                     num_hidden_layers=1, num_attention_heads=2,
+                     intermediate_size=32, max_seq_length=12,
+                     max_position_embeddings=32)
+    params, state = init_realise(jax.random.PRNGKey(0), cfg)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=5, max_len=8, seed=3)
+
+    r_ragged = evaluate_model(Trainer(cfg, params, state), data, feat,
+                              tokenizer, str(tmp_path), prefix="a",
+                              batch_size=4)   # batches of 4 + 1(+3 pads)
+    params2, state2 = init_realise(jax.random.PRNGKey(0), cfg)
+    r_single = evaluate_model(Trainer(cfg, params2, state2), data, feat,
+                              tokenizer, str(tmp_path), prefix="b",
+                              batch_size=8)   # 5 real + 3 pads, one batch
+    assert r_ragged["avg_loss"] == pytest.approx(r_single["avg_loss"],
+                                                 rel=1e-5)

@@ -290,3 +290,42 @@ def test_trainer_fits_with_pallas_kernels(tokenizer):
     for _ in range(29):
         loss = tr.train_step(batch)
     assert float(loss) < first - 1.0, (first, float(loss))
+
+
+def test_attention_train_bf16_forward_and_grad():
+    """bf16 path: the train kernel's forward (dropout 0) matches the serving
+    kernel's bit-for-bit (same activation-dtype rounding at the out-proj),
+    and its backward produces a bf16 bias cotangent (not f32 — jax's
+    custom_vjp tolerance for that is a deprecated escape hatch)."""
+    from realise_tpu.ops.bert import init_bert_layer
+    from realise_tpu.ops.pallas.bert_block import attention_block
+    from realise_tpu.ops.pallas.bert_block_train import attention_block_train
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16)).astype(
+        jnp.bfloat16)
+    mask = jnp.ones((2, 8), jnp.int32).at[0, 6:].set(0)
+    bias = attention_bias_from_mask(mask, jnp.bfloat16)
+    seed = jnp.array([3], jnp.int32)
+
+    serve = attention_block(x, layer["attention"],
+                            bias.astype(jnp.float32),
+                            cfg.num_attention_heads, cfg.layer_norm_eps,
+                            interpret=True)
+    train = attention_block_train(x, layer["attention"], bias, seed,
+                                  cfg.num_attention_heads,
+                                  cfg.layer_norm_eps, 0.0, 0.0, True)
+    np.testing.assert_array_equal(
+        np.asarray(serve, np.float32), np.asarray(train, np.float32))
+
+    def loss(x, p, b):
+        return jnp.sum(attention_block_train(
+            x, p, b, seed, cfg.num_attention_heads, cfg.layer_norm_eps,
+            0.0, 0.0, True).astype(jnp.float32))
+
+    dx, dp, db = jax.grad(loss, argnums=(0, 1, 2))(x, layer["attention"],
+                                                   bias)
+    assert dx.dtype == jnp.bfloat16
+    assert db.dtype == jnp.bfloat16  # the primal's dtype, exactly
+    assert np.isfinite(np.asarray(dx, np.float32)).all()
