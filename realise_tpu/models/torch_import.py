@@ -254,7 +254,12 @@ def import_realise_state_dict(
         params["pho"] = pho
 
     if cfg.with_res and any(k.startswith("resnet.") for k in sd):
-        num_blocks = 5 if cfg.res_encoder == "resnet" else 4
+        # Block count from the keys themselves (CharResNet has 5,
+        # CharResNet1 has 4 — src/char_cnn.py:40-44,61-73).
+        import re as _re
+
+        num_blocks = max(int(m.group(1)) for k in sd
+                         if (m := _re.match(r"resnet\.res_block(\d+)\.", k)))
         res_p, res_s = import_char_resnet(sd, "resnet.", num_blocks)
         params["res"] = {"resnet": res_p}
         if "resnet_layernorm.weight" in sd:
@@ -267,9 +272,10 @@ def import_realise_state_dict(
         state["char_images"] = v.reshape(v.shape[0], 1, 32, 32)
 
     if "gate_net.weight" in sd:
-        params["fusion"] = {"gate_net": _linear(sd, "gate_net")}
+        params.setdefault("fusion", {})["gate_net"] = _linear(sd, "gate_net")
     if "integrate.weight" in sd:
-        params["fusion"] = {"integrate": _linear(sd, "integrate")}
+        params.setdefault("fusion", {})["integrate"] = _linear(sd,
+                                                              "integrate")
 
     if cfg.out_num_layers > 0 and any(k.startswith("output_block.") for k in sd):
         params["output_block"] = import_bert_stack(
@@ -321,10 +327,16 @@ def merge_torch_state_dicts(
     Overlays the pho-pretrain and res-pretrain dicts onto the base BERT dict
     (later wins, reference: merge.py:18-24), optionally renaming the res
     overlay's ``resnet.`` keys to ``char_resent.`` first (``sec_version=1``,
-    merge.py:10-15), then deletes ``position_embeddings.*`` and
-    ``char_images.*`` keys (merge.py:26-34). The result imports via
-    :func:`import_realise_state_dict` (which normalizes ``char_resent.``
-    back) exactly like the reference's released merged checkpoints.
+    merge.py:10-15), then deletes TOP-LEVEL ``position_embeddings.*`` and
+    ``char_images.*`` keys exactly as merge.py:26-34 does. Note the
+    reference's filter semantics, replicated deliberately: the pho BERT's
+    position embeddings live NESTED under ``pho_model.embeddings.*`` so the
+    position filter never fires (pretrain position embeddings survive into
+    the merged checkpoint), and a multifont res-pretrain's glyphs are named
+    ``char_images_multifonts`` (no trailing dot match) so they survive too
+    — only the single-font ``char_images.weight`` is dropped. The result
+    imports via :func:`import_realise_state_dict` (which normalizes
+    ``char_resent.`` back) exactly like the released merged checkpoints.
     """
     merged: Dict[str, np.ndarray] = dict(bert_sd)
     if pho_sd is not None:
@@ -344,11 +356,15 @@ def merge_torch_state_dicts(
 
 
 def import_checkpoint_dir(path: str, cfg: RealiseConfig):
-    """Convenience: a torch checkpoint dir (pytorch_model.bin) → pytrees."""
+    """Convenience: a torch checkpoint dir (pytorch_model.bin) → pytrees.
+
+    import_realise_state_dict covers every shape — the full zoo, pretrain
+    stages, merged dumps, AND plain-BERT checkpoints (bert.* with a
+    classifier/MLM head, or a bare BertModel dump) — so no routing
+    heuristic is needed; a heuristic here once silently dropped the
+    trained classifier of a BERT-baseline checkpoint."""
     import os
 
     sd = normalize_state_dict(
         load_torch_bin(os.path.join(path, "pytorch_model.bin")))
-    if any(k.startswith(("pho_", "resnet.", "cls2.", "cls3.")) for k in sd):
-        return import_realise_state_dict(sd, cfg)
-    return {"bert": import_hf_bert(sd, cfg)}, {}
+    return import_realise_state_dict(sd, cfg)

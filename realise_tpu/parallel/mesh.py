@@ -31,7 +31,13 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(axes: Optional[Dict[str, int]] = None,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a mesh; default: all devices on the ``data`` axis."""
+    """Build a mesh; default: all devices on the ``data`` axis.
+
+    Device placement is topology-aware when all devices participate
+    (mesh_utils.create_device_mesh orders the trailing — tensor-parallel —
+    axis along the fastest ICI links); an explicit ``devices`` subset falls
+    back to flat-order reshape (mesh_utils requires the full slice)."""
+    explicit = devices is not None
     if devices is None:
         devices = jax.devices()
     if axes is None:
@@ -41,6 +47,13 @@ def make_mesh(axes: Optional[Dict[str, int]] = None,
     total = int(np.prod(shape))
     if total != len(devices):
         raise ValueError(f"mesh {axes} needs {total} devices, have {len(devices)}")
+    if not explicit:
+        try:
+            from jax.experimental import mesh_utils
+
+            return Mesh(mesh_utils.create_device_mesh(shape), names)
+        except Exception:
+            pass  # odd shapes/backends: flat order below still works
     dev_array = np.asarray(devices).reshape(shape)
     return Mesh(dev_array, names)
 

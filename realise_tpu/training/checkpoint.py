@@ -51,8 +51,17 @@ def save_checkpoint(
     # Serialize as host numpy: checkpoints then restore on any device
     # topology (save on a TPU mesh, restore on CPU, and vice versa). At this
     # model scale (~110M params) gathering to host is cheap; a sharded async
-    # save can be layered in for much larger configs.
-    tree = jax.tree.map(np.asarray, tree)
+    # save can be layered in for much larger configs. Arrays sharded across
+    # OTHER hosts (multi-host tensor parallelism) must be allgathered first
+    # — np.asarray raises on non-addressable shards.
+    def _to_host(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            x = multihost_utils.process_allgather(x, tiled=True)
+        return np.asarray(x)
+
+    tree = jax.tree.map(_to_host, tree)
     path = os.path.join(ckpt_dir, "ckpt")
     if os.path.exists(path):
         shutil.rmtree(path)

@@ -1,10 +1,13 @@
 """Checkpoint composition: overlay pretrained pho/res encoders onto a base.
 
 The reference stage (reference: merge.py:5-38) overlays the phonetic-pretrain
-and glyph-pretrain torch state dicts onto the BERT state dict, dropping
-``position_embeddings.*`` (so fine-tune re-initializes them fresh) and
-``char_images.*`` (glyphs are rebuilt from fonts at startup) before writing a
-merged ``pytorch_model.bin``. Here the same surgery is pytree-structural.
+and glyph-pretrain torch state dicts onto the BERT state dict, then deletes
+top-level ``position_embeddings.*`` and ``char_images.*`` keys. In practice
+(and matching the released checkpoints) only the single-font
+``char_images.weight`` ever matches — the pho BERT's position embeddings are
+nested under ``pho_model.embeddings.*`` and multifont glyphs are named
+``char_images_multifonts``, so both SURVIVE the reference's merge. Here the
+same surgery is pytree-structural, with the same effective semantics.
 """
 
 from __future__ import annotations
@@ -19,18 +22,23 @@ def merge_params(
     pho_params: Optional[Dict[str, Any]] = None,
     res_params: Optional[Dict[str, Any]] = None,
     res_state: Optional[Dict[str, Any]] = None,
-    keep_base_position_embeddings: bool = True,
+    keep_base_position_embeddings: bool = False,
 ) -> Tuple[Dict[str, Any], Dict[str, Any]]:
     """Return (params, state) with pretrain subtrees grafted in.
 
     * ``pho_params``: a pho2-pretrain checkpoint's params — its ``pho``
-      subtree replaces the base's; the pho BERT's position embeddings keep the
-      base init when ``keep_base_position_embeddings`` (merge.py deletes
-      ``position_embeddings.*`` from the overlay, merge.py:24-31).
+      subtree (including the pho BERT's position embeddings) replaces the
+      base's, matching the reference's effective behavior: merge.py's
+      ``position_embeddings.`` delete only matches top-level keys and the
+      pho BERT's are nested (merge.py:26-34), so released merged
+      checkpoints carry the pretrained ones. Set
+      ``keep_base_position_embeddings=True`` for the filter's (dead)
+      intended semantics.
     * ``res_params``/``res_state``: a res-pretrain checkpoint — its resnet
       conv/BN params and BN running stats replace the base's. Glyph tables
-      (``char_images``) are never copied (merge.py drops them too) — they are
-      rebuilt from fonts.
+      (``char_images``) are never copied — they are deterministic from the
+      fonts, so rebuilding at startup equals the reference's multifont
+      checkpoints carrying them.
     """
     params = copy.deepcopy(base_params)
     state = copy.deepcopy(base_state)
@@ -61,27 +69,11 @@ def graft_mlm_head_from_hf(params: Dict[str, Any],
     The utils/add_mlm_to_weights.py + add_trans_to_weights.py equivalent
     (reference: utils/add_mlm_to_weights.py:4-9, add_trans_to_weights.py:4-9):
     those scripts copy the pretrained MLM transform/decoder into a checkpoint
-    under new key prefixes; here the head subtree is replaced directly.
-    """
-    import numpy as np
+    under new key prefixes; here the head subtree is replaced directly
+    (delegating to torch_import's importer, which zero-fills a missing
+    decoder bias instead of propagating None into dense())."""
+    from realise_tpu.models.torch_import import _import_mlm_head
 
     params = copy.deepcopy(params)
-    sd = hf_state_dict
-    head = {
-        "transform": {
-            "kernel": np.ascontiguousarray(
-                sd["cls.predictions.transform.dense.weight"].T),
-            "bias": sd["cls.predictions.transform.dense.bias"],
-        },
-        "layer_norm": {
-            "scale": sd["cls.predictions.transform.LayerNorm.weight"],
-            "bias": sd["cls.predictions.transform.LayerNorm.bias"],
-        },
-        "decoder": {
-            "kernel": np.ascontiguousarray(sd["cls.predictions.decoder.weight"].T),
-            "bias": sd.get("cls.predictions.bias",
-                           sd.get("cls.predictions.decoder.bias")),
-        },
-    }
-    params["head"] = head
+    params["head"] = _import_mlm_head(hf_state_dict, "cls")
     return params

@@ -58,8 +58,10 @@ def test_full_reference_workflow(tmp_path):
 
 
 def test_merge_overlays_pho_and_res(tokenizer):
-    """merge_params grafts pretrain subtrees and keeps base position
-    embeddings (the merge.py key surgery, merge.py:24-31)."""
+    """merge_params grafts pretrain subtrees with the reference's EFFECTIVE
+    semantics: merge.py's position_embeddings delete only matches top-level
+    keys and the pho BERT's are nested (merge.py:26-34), so the pretrained
+    position embeddings survive into the merge."""
     import jax
 
     from realise_tpu.config import config_for
@@ -83,10 +85,11 @@ def test_merge_overlays_pho_and_res(tokenizer):
     np.testing.assert_array_equal(
         np.asarray(merged_p["pho"]["gru"]["w_ih"]),
         np.asarray(pho_p["pho"]["gru"]["w_ih"]))
-    # Position embeddings stay from the base (merge.py deletes them).
+    # Position embeddings come from the pho pretrain (the reference's
+    # delete never fires on the nested pho_model.embeddings.* keys).
     np.testing.assert_array_equal(
         np.asarray(merged_p["pho"]["model"]["embeddings"]["position_embeddings"]["embedding"]),
-        np.asarray(base_p["pho"]["model"]["embeddings"]["position_embeddings"]["embedding"]))
+        np.asarray(pho_p["pho"]["model"]["embeddings"]["position_embeddings"]["embedding"]))
     # Resnet convs come from the res pretrain, glyphs stay from the base.
     np.testing.assert_array_equal(
         np.asarray(merged_p["res"]["resnet"]["block1"]["conv1"]["kernel"]),

@@ -337,9 +337,14 @@ def test_merge_torch_state_dicts_roundtrip():
     for sec_version in (0, 1):
         merged_sd = merge_torch_state_dicts(bert_sd, pho_sd, res_sd,
                                             sec_version=sec_version)
-        # merge.py deletes char_images.* (rebuilt from fonts at startup).
+        # merge.py deletes only the single-font char_images.weight; the
+        # multifont char_images_multifonts key does NOT match its filter
+        # and survives into the merged dict (reference behavior — released
+        # multifont checkpoints carry their glyph table).
         assert not any(k.startswith("char_images.") for k in merged_sd)
+        assert "char_images_multifonts" in merged_sd
         params, state = import_realise_state_dict(merged_sd, cfg3)
+        assert "char_images" in state  # imported from the multifont key
         assert "bert" in params and "pho" in params and "res" in params
         assert "gru" in params["pho"] and "model" in params["pho"]
         assert "resnet" in state  # BN stats came through the rename
