@@ -117,14 +117,18 @@ struct Featurizer {
   int32_t unk_id = 0, cls_id = 0, sep_id = 0;
   int max_input_chars_per_word = 100;
 
+  bool load_ok = false;
+
   explicit Featurizer(const char* vocab_path) {
     std::ifstream f(vocab_path);
+    if (!f.is_open()) return;  // rtf_create reports failure as NULL
     std::string line;
     int32_t idx = 0;
     while (std::getline(f, line)) {
       if (!line.empty() && line.back() == '\r') line.pop_back();
       vocab.emplace(line, idx++);
     }
+    load_ok = !vocab.empty();
     auto get = [&](const char* t) {
       auto it = vocab.find(t);
       return it == vocab.end() ? 0 : it->second;
@@ -222,7 +226,14 @@ struct Featurizer {
 
 extern "C" {
 
-void* rtf_create(const char* vocab_path) { return new Featurizer(vocab_path); }
+void* rtf_create(const char* vocab_path) {
+  auto* f = new Featurizer(vocab_path);
+  if (!f->load_ok) {  // missing/empty vocab: fail fast, not all-zero ids
+    delete f;
+    return nullptr;
+  }
+  return f;
+}
 
 void rtf_destroy(void* h) { delete static_cast<Featurizer*>(h); }
 
@@ -243,6 +254,11 @@ int rtf_encode_batch(void* handle, const char** sents, int n, int max_len,
     f->encode(sents[i], &ids, &sizes);
     int32_t len = (int32_t)ids.size() - 2;  // without CLS/SEP
     lengths[i] = len;
+    // Truncation keeps BERT layout: [CLS] + (max_len-2) content + [SEP],
+    // with loss over content positions only — identical to the Python
+    // featurizer (data/features.py featurize).
+    bool truncated = (int)ids.size() > max_len;
+    int32_t content = truncated ? max_len - 2 : len;
     int32_t* row = src_idx + (size_t)i * max_len;
     int32_t* mrow = masks + (size_t)i * max_len;
     int32_t* lrow = loss_masks + (size_t)i * max_len;
@@ -250,8 +266,12 @@ int rtf_encode_batch(void* handle, const char** sents, int n, int max_len,
     for (int j = 0; j < max_len; ++j) {
       row[j] = j < (int)ids.size() ? ids[j] : 0;
       mrow[j] = j < (int)ids.size() ? 1 : 0;
-      lrow[j] = (j >= 1 && j <= len && j < max_len) ? 1 : 0;
+      lrow[j] = (j >= 1 && j <= content) ? 1 : 0;
       trow[j] = j < (int)sizes.size() ? sizes[j] : 0;
+    }
+    if (truncated) {
+      row[max_len - 1] = f->sep_id;
+      for (int j = 0; j < max_len; ++j) mrow[j] = 1;
     }
   }
   return 0;

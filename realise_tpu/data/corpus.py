@@ -220,7 +220,13 @@ def make_record(sid: str, src: str,
                 mistakes: Sequence[Tuple[int, str, str]],
                 t2s: Optional[Callable[[str], str]] = None,
                 collapse_english: bool = True) -> Dict:
-    src = normalize_punct(src.strip().replace(" ", ""))
+    # NO space stripping here: ``mistakes`` offsets were located on exactly
+    # this string, and removing spaces first would shift every offset past
+    # an internal space (silent corruption or a spurious mismatch error).
+    # Whitespace is removed ALIGNED, after the mistakes are applied, inside
+    # clean_pair; only the SIGHAN13 parser pre-strips spaces before
+    # locating, matching the reference (trainset.py:132-133 vs :515,:663).
+    src = normalize_punct(src.strip())
     tgt = _apply_mistakes(src, mistakes)
     src, tgt = clean_pair(src, tgt, t2s=t2s,
                           collapse_english=collapse_english)

@@ -25,11 +25,18 @@ def load_pkl_dataset(path: str) -> List[Dict]:
         data = pickle.load(f)
     if not isinstance(data, list):
         raise ValueError(f"{path}: expected a list of example dicts")
-    for ex in data[:16]:
-        # The reference's own format invariants (process_data.py:33-36).
-        assert len(ex["src_idx"]) == len(ex["tgt_idx"]), ex.get("id")
-        assert ex["lengths"] + 2 == len(ex["tgt_idx"]), ex.get("id")
-        assert ex["lengths"] == len(ex["tokens_size"]), ex.get("id")
+    for ex in data:
+        # The reference's own format invariants (process_data.py:33-36),
+        # enforced over the WHOLE file (a bad tail example would otherwise
+        # surface as an opaque shape error deep inside featurize) and with
+        # real exceptions (assert vanishes under python -O).
+        if not (len(ex["src_idx"]) == len(ex["tgt_idx"])
+                == ex["lengths"] + 2) or ex["lengths"] != len(ex["tokens_size"]):
+            raise ValueError(
+                f"{path}: malformed example {ex.get('id')!r} — "
+                f"len(src_idx)={len(ex['src_idx'])}, "
+                f"len(tgt_idx)={len(ex['tgt_idx'])}, lengths={ex['lengths']}, "
+                f"len(tokens_size)={len(ex['tokens_size'])}")
     return data
 
 
@@ -224,11 +231,23 @@ def threaded_prefetch(iterator, size: int = 2):
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=size)
     sentinel = object()
+    stop = threading.Event()
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
+                # Re-check stop around the bounded put so an abandoned
+                # consumer (trainer hit max_steps mid-epoch, generator
+                # closed) releases the thread instead of pinning buffered
+                # batches + the live generator for the process lifetime.
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # propagate into the consumer
             q.put(("__error__", e))
         finally:
@@ -236,13 +255,16 @@ def threaded_prefetch(iterator, size: int = 2):
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
 
 
 def prefetch_to_device(iterator, size: int = 2, put_fn=None):

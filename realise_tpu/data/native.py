@@ -64,6 +64,23 @@ def native_available() -> bool:
     return _load() is not None
 
 
+def _normalize(s: str) -> bytes:
+    """Pre-normalize for the C++ tokenizer so its ids match the Python path
+    beyond ASCII/CJK: the Python BasicTokenizer lowercases and NFD-strips
+    accents per word (tokenizer.py:84-85); the C++ side only lowercases
+    ASCII/Latin-1 and has no Unicode tables. Lowercase + accent-strip
+    commute with the (case/accent-invariant) splitting, so applying them to
+    the whole string first is equivalent. Lone surrogates (hostile JSON)
+    are dropped like the Python path drops control chars — they cannot be
+    UTF-8 encoded at all."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFD", s.lower())
+    s = "".join(ch for ch in s
+                if unicodedata.category(ch) not in ("Mn", "Cs"))
+    return s.encode("utf-8")
+
+
 class NativeFeaturizer:
     """Batch-encode raw sentences with the C++ tokenizer.
 
@@ -93,7 +110,7 @@ class NativeFeaturizer:
 
     def encode_batch(self, sentences: Sequence[str], max_len: int) -> Dict[str, np.ndarray]:
         n = len(sentences)
-        arr = (ctypes.c_char_p * n)(*[s.encode("utf-8") for s in sentences])
+        arr = (ctypes.c_char_p * n)(*[_normalize(s) for s in sentences])
         src_idx = np.zeros((n, max_len), np.int32)
         masks = np.zeros((n, max_len), np.int32)
         loss_masks = np.zeros((n, max_len), np.int32)

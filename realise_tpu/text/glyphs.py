@@ -51,20 +51,20 @@ _S2T_BUILTIN = {
     "乱": "亂", "争": "爭", "于": "於", "亏": "虧", "产": "產", "亲": "親",
     "亿": "億", "仅": "僅", "从": "從", "仓": "倉", "仪": "儀", "们": "們",
     "价": "價", "众": "眾", "优": "優", "会": "會", "伛": "傴", "伞": "傘",
-    "伟": "偉", "传": "傳", "伤": "傷", "伦": "倫", "众": "眾", "优": "優",
+    "伟": "偉", "传": "傳", "伤": "傷", "伦": "倫", 
     "华": "華", "协": "協", "单": "單", "卖": "賣", "南": "南", "博": "博",
     "厅": "廳", "历": "歷", "厉": "厲", "压": "壓", "厌": "厭", "县": "縣",
     "发": "發", "变": "變", "叙": "敘", "后": "後", "向": "向", "吓": "嚇",
     "吗": "嗎", "听": "聽", "启": "啟", "员": "員", "响": "響", "哑": "啞",
-    "问": "問", "义": "義", "语": "語", "说": "說", "请": "請", "读": "讀",
+    "问": "問", "语": "語", "说": "說", "请": "請", "读": "讀",
     "谁": "誰", "调": "調", "谈": "談", "谢": "謝", "贝": "貝", "贡": "貢",
     "财": "財", "责": "責", "败": "敗", "货": "貨", "质": "質", "贵": "貴",
-    "买": "買", "费": "費", "资": "資", "赛": "賽", "赵": "趙", "边": "邊",
+    "费": "費", "资": "資", "赛": "賽", "赵": "趙", "边": "邊",
     "达": "達", "过": "過", "迈": "邁", "运": "運", "还": "還", "这": "這",
     "进": "進", "远": "遠", "违": "違", "连": "連", "迟": "遲", "适": "適",
     "选": "選", "逊": "遜", "递": "遞", "逻": "邏", "遗": "遺", "邓": "鄧",
     "郑": "鄭", "钟": "鐘", "钢": "鋼", "铁": "鐵", "银": "銀", "错": "錯",
-    "锦": "錦", "键": "鍵", "镇": "鎮", "问": "問", "间": "間", "闻": "聞",
+    "锦": "錦", "键": "鍵", "镇": "鎮", "间": "間", "闻": "聞",
     "阳": "陽", "阴": "陰", "陈": "陳", "际": "際", "陆": "陸", "队": "隊",
     "难": "難", "雾": "霧", "页": "頁", "顶": "頂", "项": "項", "顺": "順",
     "须": "須", "顾": "顧", "预": "預", "领": "領", "频": "頻", "题": "題",
@@ -74,7 +74,7 @@ _S2T_BUILTIN = {
     "没": "沒", "泽": "澤", "浅": "淺", "测": "測", "浑": "渾", "浓": "濃",
     "涛": "濤", "滚": "滾", "满": "滿", "滨": "濱", "灭": "滅", "灯": "燈",
     "炉": "爐", "热": "熱", "爱": "愛", "牵": "牽", "犹": "猶", "独": "獨",
-    "猎": "獵", "现": "現", "玛": "瑪", "环": "環", "现": "現", "础": "礎",
+    "猎": "獵", "现": "現", "玛": "瑪", "环": "環", "础": "礎",
     "确": "確", "礼": "禮", "祸": "禍", "离": "離", "种": "種", "积": "積",
     "称": "稱", "窝": "窩", "竞": "競", "笔": "筆", "筛": "篩", "简": "簡",
     "类": "類", "粮": "糧", "紧": "緊", "纠": "糾", "红": "紅", "纤": "纖",
@@ -84,7 +84,7 @@ _S2T_BUILTIN = {
     "经": "經", "结": "結", "绕": "繞", "绘": "繪", "给": "給", "络": "絡",
     "绝": "絕", "统": "統", "继": "繼", "绩": "績", "维": "維", "绵": "綿",
     "缓": "緩", "编": "編", "缩": "縮", "缺": "缺", "网": "網", "罗": "羅",
-    "罚": "罰", "罢": "罷", "义": "義", "习": "習", "联": "聯", "聪": "聰",
+    "罚": "罰", "罢": "罷", "联": "聯", "聪": "聰",
     "肃": "肅", "肠": "腸", "肤": "膚", "肾": "腎", "肿": "腫", "胀": "脹",
     "胜": "勝", "脏": "臟", "脑": "腦", "脱": "脫", "舰": "艦", "艰": "艱",
     "艺": "藝", "节": "節", "芦": "蘆", "苍": "蒼", "苏": "蘇", "药": "藥",
@@ -194,7 +194,7 @@ def build_glyph_table(
     src/run.py:380-391): fonts are [simhei, xiaozhuan, simhei] and when
     ``use_traditional_font`` the last channel renders traditional variants.
     """
-    if font_paths is None:
+    if not font_paths:  # None or [] → procedural fallback on every channel
         font_paths = [None] * 3
     plan = [
         (font_paths[0] if len(font_paths) > 0 else None, False),   # simhei

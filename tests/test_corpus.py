@@ -261,3 +261,23 @@ def test_test_label_override():
     assert by_id["B1-1430-2"]["errors"] == []
     assert by_id["B1-1430-2"]["src"] == "我好。"  # ．．． → 。 input fix
     assert by_id["B1-0001-1"]["errors"] == [(2, "好")]
+
+
+def test_mistake_offsets_survive_internal_spaces():
+    """A SIGHAN-training passage with an internal space and a MISTAKE
+    located after it: offsets were computed on the space-containing text,
+    so stripping spaces before applying them would shift every later
+    position (the space is removed ALIGNED afterwards, inside clean_pair,
+    matching the reference which keeps spaces in 14/15 srcs)."""
+    sgml = (
+        '<ESSAY title="t"><TEXT><PASSAGE id="A1">我的 朋有来了。</PASSAGE>'
+        "</TEXT>"
+        '<MISTAKE id="A1" location="5"><WRONG>朋有</WRONG>'
+        "<CORRECTION>朋友</CORRECTION></MISTAKE></ESSAY>"
+    )
+    recs = parse_sighan_training(sgml, year=15, t2s=IDENTITY)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["src"] == "我的朋有来了。"   # space removed aligned, post-apply
+    assert r["tgt"] == "我的朋友来了。"   # 有→友 landed on the right char
+    assert r["errors"] == [(4, "友")]

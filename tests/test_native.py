@@ -54,6 +54,21 @@ def test_truncation(native, tokenizer):
     assert out["src_idx"].shape == (1, 8)
     assert out["masks"][0].all()
     assert out["lengths"][0] == 30  # true length reported; ids truncated
+    # BERT truncation layout, identical to the Python featurizer:
+    # [CLS] + 6 content + [SEP], loss over content positions only.
+    assert out["src_idx"][0][-1] == tokenizer.sep_token_id
+    assert out["loss_masks"][0].tolist() == [0, 1, 1, 1, 1, 1, 1, 0]
+
+    from realise_tpu.config import config_for
+    from realise_tpu.data.features import Featurizer, make_example
+
+    cfg = config_for("bert", vocab_size=len(tokenizer), max_seq_length=8)
+    feat = Featurizer(tokenizer, cfg)
+    py = feat.featurize([make_example("0", text, text, tokenizer)],
+                        seq_len=8)
+    np.testing.assert_array_equal(out["src_idx"][0], py["src_idx"][0])
+    np.testing.assert_array_equal(out["loss_masks"][0], py["loss_masks"][0])
+    np.testing.assert_array_equal(out["masks"][0], py["masks"][0])
 
 
 def test_batch_throughput_sanity(native):
