@@ -260,9 +260,11 @@ def main():
                    help="skip the training-step benchmark")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--use_pallas", dest="use_pallas", action="store_true",
-                   default=True,
+                   default=None,
                    help="fused Pallas block kernels on the inference paths "
-                        "(default on: measured 1.3x end-to-end on v5e)")
+                        "(default: auto — on for real TPUs, measured 1.3x "
+                        "end-to-end on v5e; OFF on CPU, where interpret "
+                        "mode would time the emulator, not the model)")
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--trace_dir", default=None,
@@ -287,6 +289,10 @@ def main():
     # a ~15 min cold start before the first measurement.
     enable_persistent_compile_cache()
 
+    if args.use_pallas is None:  # auto: kernels on real TPUs only
+        from realise_tpu.cli.common import auto_use_pallas
+
+        args.use_pallas = auto_use_pallas(None)
     bs = args.batch_size or (32 if args.smoke else 256)
     (infer_step, full_fwd, trainer, (params, state, infer_batch, batch),
      bs, cfg_full) = build(tiny=args.smoke, batch_size=bs, train=args.train,

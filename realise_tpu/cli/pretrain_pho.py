@@ -59,11 +59,20 @@ def token_accuracy(trainer, data, featurizer, batch_size=64):
     # not inflate the token counts (same bug class as the round-1 eval).
     from realise_tpu.data.dataset import pad_examples
 
+    weights = []
     for examples in batch_iterator(data, batch_size, pad_final=False):
         n = len(examples)
         host = featurizer.featurize_pho_pretrain(
             pad_examples(examples, batch_size))
-        out = trainer.eval_step(featurizer.device_batch(host))
+        feed = featurizer.device_batch(host)
+        if n < batch_size:
+            # Duplicated padding rows must not count toward the device-side
+            # loss either (same treatment as evaluate_model).
+            feed = dict(feed)
+            lm = np.array(feed["loss_masks"], copy=True)
+            lm[n:] = 0
+            feed["loss_masks"] = lm
+        out = trainer.eval_step(feed)
         preds = np.asarray(out["pred_idx"])[:n]
         mask = host["loss_masks"][:n].astype(bool)
         host = {k: (v[:n] if hasattr(v, "__getitem__") else v)
@@ -72,8 +81,10 @@ def token_accuracy(trainer, data, featurizer, batch_size=64):
         total += int(mask.sum())
         if "loss" in out:
             losses.append(float(out["loss"]))
+            weights.append(int(mask.sum()))
     return {"accuracy": correct / max(total, 1),
-            "avg_loss": float(np.mean(losses)) if losses else float("nan")}
+            "avg_loss": (float(np.average(losses, weights=weights))
+                         if losses and sum(weights) else float("nan"))}
 
 
 def main(argv=None):

@@ -69,6 +69,13 @@ def main(argv=None):
     if mesh is not None and "data" in mesh.axis_names:
         batch_size = min(batch_size * mesh.shape["data"], len(char_ids))
         batch_size -= batch_size % mesh.shape["data"]
+    if batch_size <= 0:
+        raise SystemExit(
+            f"res-pretrain needs at least one CJK vocab char per data-mesh "
+            f"shard (have {len(char_ids)} chars"
+            + (f", data axis {mesh.shape['data']}" if mesh is not None
+               and "data" in mesh.axis_names else "")
+            + ") — check the vocab file")
     steps_per_epoch = max(len(char_ids) // batch_size, 1)
     total = (args.max_steps if args.max_steps > 0
              else int(steps_per_epoch * args.num_train_epochs))

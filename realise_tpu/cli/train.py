@@ -131,6 +131,15 @@ def main(argv=None):
     cfg = build_config(args, len(tokenizer))
     featurizer = Featurizer(tokenizer, cfg)
     mesh = build_mesh(args)
+    if args.distributed and mesh is None:
+        # Without a mesh each process would train an independent model on
+        # its local data slice (no global batch, no gradient sync) —
+        # silently wrong. Default to data parallelism over every device.
+        from realise_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh()
+        logger.info("--distributed without --mesh: defaulting to data "
+                    "parallelism over all %d devices", mesh.size)
     glyphs = build_glyphs(args, tokenizer, cfg)
 
     pho_tables = (featurizer.pho2_tables()
@@ -188,7 +197,6 @@ def main(argv=None):
         ckpts = list_checkpoints(args.output_dir)
         if ckpts:
             step, ckpt_dir = ckpts[-1]
-            import jax.numpy as jnp
             import numpy as _np
             ts = trainer.train_state
             # Restore INTO the live pytree structure so optax NamedTuple
@@ -226,23 +234,32 @@ def main(argv=None):
             # Every process iterates the same global batch order (same
             # shuffle seed) and featurizes only its contiguous slice; the
             # trainer reassembles the global array from per-process shards
-            # (no tail-dropping, unlike run.py:134-137).
-            epoch = 0
+            # (no tail-dropping, unlike run.py:134-137). A --resume run
+            # fast-forwards to the epoch/offset the restored step implies
+            # (same per-epoch shuffle seeds), so the data stream continues
+            # where the crashed run stopped instead of replaying epoch 0.
+            start = trainer.train_state.step
+            epoch = start // steps_per_epoch
+            skip = start % steps_per_epoch
             while True:
                 if buckets:
-                    it = bucketed_batch_iterator(train_data, batch_size,
-                                                 buckets=buckets, shuffle=True,
-                                                 seed=args.seed + epoch)
-                    for seq_len, examples in it:
-                        yield featurizer.device_batch(
-                            featurizer.featurize(local_slice(examples),
-                                                 seq_len=seq_len))
+                    it = ((seq_len, examples) for seq_len, examples in
+                          bucketed_batch_iterator(train_data, batch_size,
+                                                  buckets=buckets,
+                                                  shuffle=True,
+                                                  seed=args.seed + epoch))
                 else:
-                    for examples in batch_iterator(train_data, batch_size,
-                                                   shuffle=True,
-                                                   seed=args.seed + epoch):
-                        yield featurizer.device_batch(
-                            featurizer.featurize(local_slice(examples)))
+                    it = ((None, examples) for examples in
+                          batch_iterator(train_data, batch_size,
+                                         shuffle=True,
+                                         seed=args.seed + epoch))
+                for i, (seq_len, examples) in enumerate(it):
+                    if i < skip:
+                        continue  # pre-featurization: skipping is free
+                    kw = {"seq_len": seq_len} if seq_len else {}
+                    yield featurizer.device_batch(
+                        featurizer.featurize(local_slice(examples), **kw))
+                skip = 0
                 epoch += 1
 
         stream = batches() if args.no_prefetch else threaded_prefetch(batches())
@@ -265,17 +282,20 @@ def main(argv=None):
         logger.info("train summary: %s", summary)
         save_fn(trainer.train_state.step, trainer.train_state)
 
+    scored = []  # (ckpt_dir, dev score) — also feeds do_predict's pick
     if args.do_eval:
         dev_data = load_dataset(args, tokenizer, args.dev_file,
                                 num_synthetic=64, seed=args.seed + 1)
         label = (os.path.join(args.data_dir, args.dev_label_file)
                  if args.data_dir and args.dev_label_file else None)
-        scored = []
         all_results = {}
         for step, ckpt_dir in list_checkpoints(args.output_dir):
             restored = load_checkpoint(ckpt_dir)
+            # jnp.asarray: restored leaves are host numpy; installing them
+            # raw would re-upload the whole model per eval batch.
             trainer.train_state = trainer.train_state.__class__(
-                params=restored["params"], state=restored["state"],
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                state=jax.tree.map(jnp.asarray, restored["state"]),
                 opt_state=trainer.train_state.opt_state, step=step)
             # Frozen checkpoint params: the serving-table build may cache.
             trainer.table_cache_dir = ckpt_dir
@@ -303,6 +323,28 @@ def main(argv=None):
                                  num_synthetic=64, seed=args.seed + 2)
         label = (os.path.join(args.data_dir, args.predict_label_file)
                  if args.data_dir and args.predict_label_file else None)
+        # Predict with the best dev checkpoint when do_eval just ranked
+        # them (the reference predicts per saved checkpoint, run.py:507-526
+        # — best-by-order_metric is the one its pipeline reports); else the
+        # latest saved checkpoint (standalone --do_predict runs); else the
+        # live params (fresh --do_train without saves).
+        predict_ckpt = None
+        if args.do_eval and scored:
+            predict_ckpt = (max if args.metric_reverse else min)(
+                scored, key=lambda t: t[1])[0]
+        else:
+            ckpts = list_checkpoints(args.output_dir)
+            if ckpts:
+                predict_ckpt = ckpts[-1][1]
+        if predict_ckpt is not None:
+            restored = load_checkpoint(predict_ckpt)
+            trainer.train_state = trainer.train_state.__class__(
+                params=jax.tree.map(jnp.asarray, restored["params"]),
+                state=jax.tree.map(jnp.asarray, restored["state"]),
+                opt_state=trainer.train_state.opt_state,
+                step=trainer.train_state.step)
+            trainer.table_cache_dir = predict_ckpt
+            logger.info("predicting with %s", predict_ckpt)
         res = evaluate_model(trainer, test_data, featurizer, tokenizer,
                              args.output_dir, prefix="predict",
                              batch_size=args.eval_batch_size,

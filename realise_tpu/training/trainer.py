@@ -333,6 +333,17 @@ class Trainer:
 
     # ------------------------------------------------------------------ api
     def _put_batch(self, device_batch: Dict[str, np.ndarray]):
+        # Idempotent: fit()'s device-prefetch queue already ran batches
+        # through this function, and train_step applies it again — on
+        # multi-host meshes a second make_global_batch would np.asarray a
+        # global array whose shards live on other hosts (crash), and on any
+        # mesh it would redo placement work.
+        leaves = jax.tree.leaves(device_batch)
+        if leaves and all(isinstance(x, jax.Array) for x in leaves):
+            if self.mesh is None or all(
+                    getattr(x.sharding, "mesh", None) == self.mesh
+                    for x in leaves):
+                return device_batch
         if self.mesh is not None:
             from realise_tpu.parallel.distributed import (
                 make_global_batch,
