@@ -233,10 +233,17 @@ def evaluate_model(
     # processes write to process-suffixed paths instead.
     suffix = "" if is_main_process() else f".p{process_index()}"
     if label_path is None:
-        # Derive gold labels from the dataset's src/tgt texts.
+        # Derive gold labels from the dataset's src/tgt texts. Year-13
+        # scoring filters 地/得 from the PREDICTION file (Metric.metric);
+        # the gold side must be filtered the same way or every sentence
+        # whose only edits are 地/得 becomes a guaranteed miss.
         label_path = os.path.join(out_dir, prefix, f"gold.lbl.tsv{suffix}")
         with open(label_path, "w", encoding="utf-8") as f:
             f.write("\n".join(dataset_labels(dataset)))
+        if should_remove_de:
+            from realise_tpu.eval.remove_de import remove_de
+
+            remove_de(input_path=label_path, output_path=label_path)
 
     batches = []
     losses = []

@@ -34,12 +34,26 @@ from typing import Dict, List
 def load_spec(path: str) -> Dict:
     with open(path, encoding="utf-8") as f:
         text = f.read()
+    spec = None
+    errors = []
     try:
         import yaml  # type: ignore
 
-        return yaml.safe_load(text)
+        spec = yaml.safe_load(text)
     except ImportError:
-        return json.loads(text)
+        pass
+    except Exception as e:  # yaml installed but file isn't yaml: try json
+        errors.append(f"yaml: {e}")
+    if spec is None:
+        try:
+            spec = json.loads(text)
+        except Exception as e:
+            errors.append(f"json: {e}")
+    if not isinstance(spec, dict):
+        raise SystemExit(
+            f"{path}: could not parse an experiment spec ("
+            + ("; ".join(errors) or "empty document") + ")")
+    return spec
 
 
 def expand_grid(spec: Dict) -> List[Dict[str, object]]:

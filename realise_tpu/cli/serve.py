@@ -6,6 +6,9 @@ the production serving surface the reference never ships. Device work is
 serialized behind a lock (one jitted program, static batch shapes); request
 threads only do featurization and JSON.
 
+Device work is serialized inside Corrector (one lock around the jitted
+step); request threads featurize, splice and build JSON concurrently.
+
 Endpoints:
     GET  /healthz           → {"status": "ok", "model_type": ...}
     POST /correct           body {"sentences": ["...", ...]}
@@ -21,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from realise_tpu.cli.common import force_platform, setup_logging, logger
@@ -44,7 +46,7 @@ def build_parser():
     return p
 
 
-def make_handler(corrector, device_lock):
+def make_handler(corrector):
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, obj) -> None:
             body = json.dumps(obj, ensure_ascii=False).encode("utf-8")
@@ -71,14 +73,20 @@ def make_handler(corrector, device_lock):
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 payload = json.loads(self.rfile.read(length) or b"{}")
-                sentences = payload.get("sentences")
-                if (not isinstance(sentences, list)
-                        or not all(isinstance(s, str) for s in sentences)):
-                    self._send(400, {"error": "body must be "
-                                              '{"sentences": ["...", ...]}'})
-                    return
-                with device_lock:
-                    results = corrector.correct_with_edits(sentences)
+            except (ValueError, json.JSONDecodeError):
+                self._send(400, {"error": "malformed request"})
+                return
+            sentences = (payload.get("sentences")
+                         if isinstance(payload, dict) else None)
+            if (not isinstance(sentences, list)
+                    or not all(isinstance(s, str) for s in sentences)):
+                self._send(400, {"error": "body must be "
+                                          '{"sentences": ["...", ...]}'})
+                return
+            try:
+                # Corrector serializes the device step internally; the
+                # host-side featurization/splicing here runs concurrently.
+                results = corrector.correct_with_edits(sentences)
                 self._send(200, {"results": results})
             except Exception as e:  # pragma: no cover - defensive
                 logger.exception("request failed")
@@ -89,8 +97,7 @@ def make_handler(corrector, device_lock):
 
 def serve(corrector, host: str, port: int) -> ThreadingHTTPServer:
     """Build (but don't start) the server — tests drive it on a thread."""
-    lock = threading.Lock()
-    return ThreadingHTTPServer((host, port), make_handler(corrector, lock))
+    return ThreadingHTTPServer((host, port), make_handler(corrector))
 
 
 def main(argv=None):
@@ -106,10 +113,11 @@ def main(argv=None):
         fast_path=not args.no_fast_path,
         native_featurizer=args.native_featurizer,
         synthetic_vocab=args.synthetic)
+    # Bind before the (minutes-long) warmup: a port conflict should fail
+    # fast, and health checks can see the socket while buckets compile.
+    server = serve(corrector, args.host, args.port)
     logger.info("warming up (jit compile, all length buckets)...")
     corrector.warmup(all_buckets=True)
-
-    server = serve(corrector, args.host, args.port)
     logger.info("serving %s on http://%s:%d (POST /correct, GET /healthz)",
                 corrector.cfg.model_type, args.host, args.port)
     try:

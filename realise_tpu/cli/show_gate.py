@@ -72,6 +72,14 @@ def main(argv=None):
         out = apply_realise(params, state, batch, cfg, return_gates=True)
         return out["gates"]
 
+    # Gate columns follow the model's actual stream order (semantic first,
+    # then pho if present, then res) — ablated models have only 2 streams.
+    stream_names = ["g_sem"]
+    if cfg.with_pho:
+        stream_names.append("g_pho")
+    if cfg.with_res:
+        stream_names.append("g_res")
+
     rows = []
     # Iterate UNPADDED (true counts); pad only for the static-shape device
     # step — else the final short batch duplicates gate rows (the same bug
@@ -81,16 +89,19 @@ def main(argv=None):
         gates = np.asarray(gate_step(params, state,
                                      featurizer.device_batch(host)))
         for i, ex in enumerate(examples):
-            length = ex["lengths"]
+            # Truncated examples keep untruncated `lengths`; only S-2
+            # content positions exist (same cap as eval/metric.py).
+            length = min(ex["lengths"], host["src_idx"].shape[1] - 2)
             for pos in range(1, length + 1):
                 char = tokenizer.convert_ids_to_tokens(
                     [int(host["src_idx"][i, pos])])[0]
                 g = gates[i, pos]
-                rows.append(f"{ex['id']}\t{pos}\t{char}\t"
-                            f"{g[0]:.4f}\t{g[1]:.4f}\t{g[2]:.4f}")
+                vals = "\t".join(f"{g[j]:.4f}"
+                                 for j in range(len(stream_names)))
+                rows.append(f"{ex['id']}\t{pos}\t{char}\t{vals}")
 
     with open(args.output, "w", encoding="utf-8") as f:
-        f.write("id\tpos\tchar\tg_sem\tg_pho\tg_res\n")
+        f.write("id\tpos\tchar\t" + "\t".join(stream_names) + "\n")
         f.write("\n".join(rows) + "\n")
     logger.info("wrote %d gate rows to %s", len(rows), args.output)
     return 0

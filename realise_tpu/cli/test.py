@@ -1,8 +1,8 @@
 """Standalone evaluation CLI — the test.sh / src/test.py equivalent.
 
-Reference flow (reference: src/test.py:83-161): recover the model type from
-the checkpoint's saved training args, load the checkpoint, forward the test
-pkl, score with the SIGHAN metric (applying remove_de for year 13).
+Reference flow (reference: src/test.py:83-161): recover the model config
+saved beside the checkpoint, load the weights, forward the test pkl, score
+with the SIGHAN metric (applying remove_de for year 13).
 
 Example:
     python -m realise_tpu.cli.test --ckpt_dir /tmp/out --synthetic
@@ -26,13 +26,11 @@ from realise_tpu.cli.common import (
     write_json,
     logger,
 )
-from realise_tpu.config import RealiseConfig
 from realise_tpu.data.features import Featurizer
 from realise_tpu.training.checkpoint import (
     list_checkpoints,
     load_checkpoint,
     load_config,
-    load_training_args,
 )
 from realise_tpu.training.trainer import Trainer
 
@@ -94,7 +92,13 @@ def main(argv=None):
     featurizer = Featurizer(tokenizer, cfg)
 
     restored = load_checkpoint(ckpt_path)
-    trainer = Trainer(cfg, restored["params"], restored["state"],
+    import jax
+    import jax.numpy as jnp
+
+    # Device arrays up front — raw numpy params would re-upload the model
+    # on every jitted eval batch.
+    trainer = Trainer(cfg, jax.tree.map(jnp.asarray, restored["params"]),
+                      jax.tree.map(jnp.asarray, restored["state"]),
                       mesh=build_mesh(args),
                       use_pallas=auto_use_pallas(args.use_pallas),
                       table_cache_dir=ckpt_path)
@@ -105,6 +109,8 @@ def main(argv=None):
     label = (os.path.join(args.data_dir, label_file)
              if args.data_dir and not args.synthetic else None)
     if label and not os.path.exists(label):
+        logger.warning("label file %s not found — deriving gold labels "
+                       "from the dataset's src/tgt instead", label)
         label = None
 
     out_dir = args.output_dir or os.path.join(args.ckpt_dir, "test_output")

@@ -103,6 +103,10 @@ class Corrector:
                 vocab_pho_lens=jax.numpy.asarray(lens),
                 cache_dir=ckpt_path)
 
+        import threading
+
+        self._device_lock = threading.Lock()
+
         @jax.jit
         def _step(params, state, batch):
             out = apply_realise(params, state, batch, self.cfg,
@@ -148,8 +152,12 @@ class Corrector:
         host = self.featurizer.featurize_raw(
             padded, native=self.native,
             seq_len=seq_len or self._bucket_for(sentences))
-        preds = np.asarray(self._step(self.params, self.state,
-                                      self.featurizer.device_batch(host)))
+        # One jitted program over static shapes: serialize the device call
+        # so concurrent HTTP request threads interleave featurization and
+        # splicing but never the accelerator step.
+        with self._device_lock:
+            preds = np.asarray(self._step(
+                self.params, self.state, self.featurizer.device_batch(host)))
         host["pred_idx"] = preds
         out = []
         for i in range(n):

@@ -52,11 +52,19 @@ class StepTimer:
     def summary(self) -> Dict[str, float]:
         import numpy as np
 
-        ts = np.asarray(self.times or [float("nan")])
+        ts = np.asarray(self.times, dtype=float)
+        if ts.size == 0:  # nothing ran: report 0 steps, not a phantom one
+            nan = float("nan")
+            return {"steps": 0, "mean_s": nan, "p50_s": nan, "p95_s": nan,
+                    "steps_per_sec": 0.0,
+                    # True when the only samples available include jit
+                    # compiles (fewer post-warmup steps than warmup).
+                    "includes_warmup": len(self._all) > 0}
         return {
-            "steps": len(ts),
+            "steps": int(ts.size),
             "mean_s": float(ts.mean()),
             "p50_s": float(np.percentile(ts, 50)),
             "p95_s": float(np.percentile(ts, 95)),
             "steps_per_sec": float(1.0 / ts.mean()) if ts.mean() > 0 else 0.0,
+            "includes_warmup": len(self._all) <= self.warmup,
         }
