@@ -139,7 +139,8 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
     return fwd * (3.0 if train else 1.0)
 
 
-def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
+def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False,
+          infer: bool = True):
     import jax
 
     from realise_tpu.config import config_for
@@ -188,21 +189,23 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False):
     batch = {k: jax.numpy.asarray(v)
              for k, v in feat.device_batch(feat.featurize(data)).items()}
 
-    _log("featurized; precomputing inference tables")
-    vocab_pho_idx, vocab_pho_lens = feat.pho2_tables()
-    tables = precompute_inference_tables(
-        params, state, cfg,
-        vocab_pho_idx=jax.numpy.asarray(vocab_pho_idx),
-        vocab_pho_lens=jax.numpy.asarray(vocab_pho_lens))
-
-    _log("tables ready")
     infer_batch = {k: v for k, v in batch.items() if k != "tgt_idx"}
+    infer_step = None
+    if infer:
+        _log("featurized; precomputing inference tables")
+        vocab_pho_idx, vocab_pho_lens = feat.pho2_tables()
+        tables = precompute_inference_tables(
+            params, state, cfg,
+            vocab_pho_idx=jax.numpy.asarray(vocab_pho_idx),
+            vocab_pho_lens=jax.numpy.asarray(vocab_pho_lens))
 
-    @jax.jit
-    def infer_step(params, state, b):
-        out = apply_realise(params, state, b, cfg, use_pallas=use_pallas,
-                            inference_tables=tables)
-        return out["logits"].argmax(-1)
+        _log("tables ready")
+
+        @jax.jit
+        def infer_step(params, state, b):
+            out = apply_realise(params, state, b, cfg, use_pallas=use_pallas,
+                                inference_tables=tables)
+            return out["logits"].argmax(-1)
 
     @jax.jit
     def full_forward_step(params, state, b):
@@ -258,6 +261,10 @@ def main():
     p.add_argument("--smoke", action="store_true", help="tiny model on CPU")
     p.add_argument("--no-train", dest="train", action="store_false",
                    help="skip the training-step benchmark")
+    p.add_argument("--train-only", action="store_true",
+                   help="measure ONLY the training step (skips the "
+                        "inference-table build — the fast lane for "
+                        "training A/B experiments)")
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--use_pallas", dest="use_pallas", action="store_true",
                    default=None,
@@ -269,6 +276,9 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--trace_dir", default=None,
                    help="capture a jax.profiler trace of the timed inference "
+                        "steps into this directory")
+    p.add_argument("--train_trace_dir", default=None,
+                   help="capture a jax.profiler trace of the timed training "
                         "steps into this directory")
     args = p.parse_args()
 
@@ -294,14 +304,60 @@ def main():
 
         args.use_pallas = auto_use_pallas(None)
     bs = args.batch_size or (32 if args.smoke else 256)
+    if args.train_only:
+        args.train = True
     (infer_step, full_fwd, trainer, (params, state, infer_batch, batch),
      bs, cfg_full) = build(tiny=args.smoke, batch_size=bs, train=args.train,
-                           use_pallas=args.use_pallas)
+                           use_pallas=args.use_pallas,
+                           infer=not args.train_only)
 
     peak, kind = peak_flops()
     _log(f"device_kind={kind!r}, assumed bf16 peak {peak / 1e12:.0f} TFLOP/s")
 
     result = {}
+    sent_per_sec, infer_mfu = None, None
+
+    if not args.train_only:
+        _measure_inference(args, result, infer_step, full_fwd, params, state,
+                           infer_batch, bs, cfg_full, peak)
+        sent_per_sec = result.pop("_sent_per_sec")
+        infer_mfu = result.pop("_infer_mfu")
+
+    # --- training step ---
+    if trainer is not None:
+        _measure_train(args, result, trainer, batch, bs, cfg_full, peak)
+
+    if args.train_only:
+        # Dev A/B mode: the train numbers ARE the output.
+        result.update({
+            "metric": "arch3 training throughput (train-only mode)",
+            "value": result.get("train_sentences_per_sec"),
+            "unit": "sentences/sec/chip",
+            "vs_baseline": round(
+                (result.get("train_sentences_per_sec") or 0.0)
+                / REFERENCE_V100_SENTENCES_PER_SEC, 2),
+            "device_kind": kind,
+            "assumed_peak_tflops": round(peak / 1e12),
+        })
+    else:
+        result.update({
+            "metric":
+                "SIGHAN15-shape inference throughput (arch3, S=128, bf16)",
+            "value": round(sent_per_sec, 1),
+            "unit": "sentences/sec/chip",
+            "vs_baseline":
+                round(sent_per_sec / REFERENCE_V100_SENTENCES_PER_SEC, 2),
+            "device_kind": kind,
+            "assumed_peak_tflops": round(peak / 1e12),
+        })
+        if infer_mfu:
+            result["infer_mfu"] = round(infer_mfu, 3)
+    print(json.dumps(result))
+
+
+def _measure_inference(args, result, infer_step, full_fwd, params, state,
+                       infer_batch, bs, cfg_full, peak):
+    import jax  # noqa: F401  (kept for parity with main's imports)
 
     # --- serving fast path (headline) ---
     compiled_flops(infer_step, params, state, infer_batch)
@@ -330,66 +386,64 @@ def main():
     result["full_forward_mfu"] = round(ff_flops / ff_sec / peak, 3)
     _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms), "
          f"MFU {ff_flops / ff_sec / peak:.1%}")
+    result["_sent_per_sec"] = sent_per_sec
+    result["_infer_mfu"] = infer_mfu
 
-    # --- training step ---
-    if trainer is not None:
-        ts = trainer.train_state
-        step_arr = jax.numpy.asarray(0, jax.numpy.int32)
-        lr_arr = jax.numpy.asarray(5e-5, jax.numpy.float32)
-        dbatch = trainer._put_batch(batch)
-        if args.use_pallas:
-            # Guard the driver artifact: if the custom-VJP kernels fail to
-            # compile on this toolchain, fall back to the jnp trainer
-            # instead of dying without the JSON line.
-            try:
-                trainer._train_step.lower(ts.params, ts.state, ts.opt_state,
-                                          dbatch, step_arr,
-                                          trainer.base_rng, lr_arr).compile()
-            except Exception as e:
-                _log(f"pallas train step failed to compile ({e!r:.200}); "
-                     f"falling back to the jnp training path")
-                from realise_tpu.training.trainer import Trainer
 
-                trainer = Trainer(trainer.cfg, ts.params, ts.state,
-                                  learning_rate=5e-5, total_steps=1000,
-                                  seed=0, use_pallas=False)
-                ts = trainer.train_state
-        compiled_flops(trainer._train_step, ts.params, ts.state,
-                       ts.opt_state, dbatch, step_arr, trainer.base_rng,
-                       lr_arr)
-        train_flops = bs * analytic_flops_per_sentence(cfg_full,
-                                                       fast_path=False,
-                                                       train=True,
-                                                       batch_size=bs)
+def _measure_train(args, result, trainer, batch, bs, cfg_full, peak):
+    import jax
 
-        def one_step():
-            t = trainer.train_state
-            p2, s2, o2, loss = trainer._train_step(
-                t.params, t.state, t.opt_state, trainer._put_batch(batch),
-                step_arr, trainer.base_rng, lr_arr)
-            trainer.train_state = type(t)(p2, s2, o2, t.step + 1)
-            return loss
+    ts = trainer.train_state
+    step_arr = jax.numpy.asarray(0, jax.numpy.int32)
+    lr_arr = jax.numpy.asarray(5e-5, jax.numpy.float32)
+    dbatch = trainer._put_batch(batch)
+    if args.use_pallas:
+        # Guard the driver artifact: if the custom-VJP kernels fail to
+        # compile on this toolchain, fall back to the jnp trainer
+        # instead of dying without the JSON line.
+        try:
+            trainer._train_step.lower(ts.params, ts.state, ts.opt_state,
+                                      dbatch, step_arr,
+                                      trainer.base_rng, lr_arr).compile()
+        except Exception as e:
+            _log(f"pallas train step failed to compile ({e!r:.200}); "
+                 f"falling back to the jnp training path")
+            from realise_tpu.training.trainer import Trainer
 
-        tsec = time_fn(one_step, iters=max(args.iters // 2, 3))
-        train_mfu = (train_flops / tsec / peak) if train_flops else None
-        result["train_sentences_per_sec"] = round(bs / tsec, 1)
-        if train_mfu:
-            result["train_mfu"] = round(train_mfu, 3)
-        _log(f"train: {bs / tsec:.1f} sent/s ({tsec * 1e3:.1f} ms/step), "
-             f"MFU {train_mfu:.1%}" if train_mfu else
-             f"train: {bs / tsec:.1f} sent/s")
+            trainer = Trainer(trainer.cfg, ts.params, ts.state,
+                              learning_rate=5e-5, total_steps=1000,
+                              seed=0, use_pallas=False)
+            ts = trainer.train_state
+    compiled_flops(trainer._train_step, ts.params, ts.state,
+                   ts.opt_state, dbatch, step_arr, trainer.base_rng,
+                   lr_arr)
+    train_flops = bs * analytic_flops_per_sentence(cfg_full,
+                                                   fast_path=False,
+                                                   train=True,
+                                                   batch_size=bs)
 
-    result.update({
-        "metric": "SIGHAN15-shape inference throughput (arch3, S=128, bf16)",
-        "value": round(sent_per_sec, 1),
-        "unit": "sentences/sec/chip",
-        "vs_baseline": round(sent_per_sec / REFERENCE_V100_SENTENCES_PER_SEC, 2),
-        "device_kind": kind,
-        "assumed_peak_tflops": round(peak / 1e12),
-    })
-    if infer_mfu:
-        result["infer_mfu"] = round(infer_mfu, 3)
-    print(json.dumps(result))
+    def one_step():
+        t = trainer.train_state
+        p2, s2, o2, loss = trainer._train_step(
+            t.params, t.state, t.opt_state, trainer._put_batch(batch),
+            step_arr, trainer.base_rng, lr_arr)
+        trainer.train_state = type(t)(p2, s2, o2, t.step + 1)
+        return loss
+
+    if getattr(args, "train_trace_dir", None):
+        from realise_tpu.utils.profiler import trace
+
+        with trace(args.train_trace_dir):
+            time_fn(one_step, iters=3)
+        _log(f"wrote train profiler trace to {args.train_trace_dir}")
+    tsec = time_fn(one_step, iters=max(args.iters // 2, 3))
+    train_mfu = (train_flops / tsec / peak) if train_flops else None
+    result["train_sentences_per_sec"] = round(bs / tsec, 1)
+    if train_mfu:
+        result["train_mfu"] = round(train_mfu, 3)
+    _log(f"train: {bs / tsec:.1f} sent/s ({tsec * 1e3:.1f} ms/step), "
+         f"MFU {train_mfu:.1%}" if train_mfu else
+         f"train: {bs / tsec:.1f} sent/s")
 
 
 if __name__ == "__main__":
