@@ -98,3 +98,54 @@ def gru_last_hidden(
     xs = (jnp.moveaxis(gi_all, 1, 0), jnp.arange(p, dtype=lengths.dtype))
     h_final, _ = jax.lax.scan(step, h0, xs)
     return h_final
+
+
+def gru_last_hidden_factored(params, emb_table: jax.Array, idx: jax.Array,
+                             lengths: jax.Array) -> jax.Array:
+    """GRU over EMBEDDED ids with the input projection pre-folded.
+
+    Computes exactly ``gru_last_hidden(params, emb_table[idx], lengths)``
+    but exploits associativity: with a tiny embedding alphabet (A=33 pinyin
+    symbols), ``emb[idx] @ W_ih == onehot(idx) @ (emb_table @ W_ih)``, so
+    the per-step input projection collapses from a (N, D)x(D, 3H) matmul
+    (plus an (N, P, 3H) HBM stash for backward — ~0.8 GB at the factorized
+    vocab shape) to a (N, A)x(A, 3H) one-hot matmul from a VMEM-resident
+    (A, 3H) table. Gradients flow through the same associativity: d_table
+    and d_W_ih come from the (A, 3H) product's transposes — identical
+    values to the unfolded path up to bf16 rounding order.
+
+    emb_table: (A, D) activation-dtype embedding table; idx: (N, P) int32;
+    lengths: (N,). Returns (N, H). Used by the vocabulary-factorized
+    streams (models/realise.py _factorized_gru) where N = V ≈ 21k.
+    """
+    n, p = idx.shape
+    a = emb_table.shape[0]
+    hidden_dim = params["w_hh"].shape[0]
+    dtype = emb_table.dtype
+    # (A, 3H): the whole input projection, computed once.
+    tw = jnp.matmul(emb_table, params["w_ih"].astype(dtype),
+                    preferred_element_type=dtype)
+    tw = tw + params["b_ih"].astype(dtype)
+    w_hh = params["w_hh"].astype(dtype)
+    b_hh = params["b_hh"].astype(dtype)
+    h0 = jnp.zeros((n, hidden_dim), dtype)
+
+    def step(h, xs):
+        ids_t, t = xs
+        # One-hot matmul, not a gather: its transpose is a matmul too, so
+        # the backward never emits XLA:TPU's slow-to-compile scatter.
+        onehot = jax.nn.one_hot(ids_t, a, dtype=dtype)
+        gi_t = jnp.matmul(onehot, tw, preferred_element_type=dtype)
+        gh = jnp.matmul(h, w_hh, preferred_element_type=dtype) + b_hh
+        i_r, i_z, i_n = jnp.split(gi_t, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        cand = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * cand + z * h
+        valid = (t < lengths)[:, None]
+        return jnp.where(valid, h_new, h), None
+
+    xs = (jnp.moveaxis(idx, 1, 0), jnp.arange(p, dtype=lengths.dtype))
+    h_final, _ = jax.lax.scan(step, h0, xs)
+    return h_final

@@ -127,6 +127,35 @@ def test_gru_matches_numpy_reference_with_ragged_lengths():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_gru_factored_matches_embedding_then_gru():
+    """gru_last_hidden_factored(table, idx) == gru_last_hidden(table[idx]):
+    folding the input projection through the alphabet is associativity,
+    not an approximation — values AND grads must match."""
+    from realise_tpu.ops.gru import gru_last_hidden_factored
+
+    key = jax.random.PRNGKey(6)
+    params = init_gru(key, 8, 8, stddev=0.3)
+    table = jax.random.normal(jax.random.fold_in(key, 1), (33, 8)) * 0.5
+    idx = jax.random.randint(jax.random.fold_in(key, 2), (7, 6), 0, 33)
+    lens = jnp.array([6, 1, 3, 0, 5, 2, 4], jnp.int32)
+
+    def ref(params, table):
+        return gru_last_hidden(params, jnp.take(table, idx, axis=0), lens)
+
+    def fac(params, table):
+        return gru_last_hidden_factored(params, table, idx, lens)
+
+    np.testing.assert_allclose(np.asarray(ref(params, table)),
+                               np.asarray(fac(params, table)), atol=1e-5)
+    dy = jax.random.normal(jax.random.fold_in(key, 3), (7, 8))
+    gr = jax.grad(lambda p, t: jnp.sum(ref(p, t) * dy), argnums=(0, 1))(
+        params, table)
+    gf = jax.grad(lambda p, t: jnp.sum(fac(p, t) * dy), argnums=(0, 1))(
+        params, table)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), atol=2e-5), gr, gf)
+
+
 def test_gru_padding_after_length_is_ignored():
     key = jax.random.PRNGKey(5)
     params = init_gru(key, 4, 4)
