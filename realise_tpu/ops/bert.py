@@ -24,6 +24,7 @@ Everything is shape-static; the attention bias is computed once per call.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -265,7 +266,13 @@ def bert_encoder(
     # jax.checkpoint would just re-run the forward kernels for nothing.
     if cfg.remat and not use_train_blocks:
         body = jax.checkpoint(layer_body)
-    (hidden, _), _ = jax.lax.scan(body, (hidden, 0), encoder_params)
+    # Scan unrolling (experimental, measured via bench.py): the scan's
+    # per-layer dynamic-slice of stacked params and dynamic-update-slice of
+    # saved residuals showed up as ~6% of the v5e train step in traces;
+    # unrolling trades program size for that glue.
+    unroll = int(os.environ.get("REALISE_TPU_SCAN_UNROLL", "1"))
+    (hidden, _), _ = jax.lax.scan(body, (hidden, 0), encoder_params,
+                                  unroll=unroll)
     return hidden
 
 

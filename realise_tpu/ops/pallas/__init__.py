@@ -32,6 +32,29 @@ the end-to-end number wins.
 """
 
 
+# XLA:TPU caps "scoped vmem" (the VMEM a single fusion may reserve) at
+# ~16 MB by default — smaller than the physical VMEM. The fused train
+# kernels' f32 weight-grad outputs (18.9 MB at H=768/I=3072) count against
+# the cap of the fusion wrapping the pallas_call, which is why the FFN
+# backward historically ran as 3 split kernels re-reading x/z/dy. The cap
+# is a per-compile compiler option: jax.jit(..., compiler_options=...)
+# plumbs it through PJRT (the client-side XLA_FLAGS parser rejects the
+# flag, but the backend accepts the option — verified on v5e through the
+# remote tunnel). Raising it to 64 MB lets the backward run as ONE kernel
+# per sub-block and gives XLA's own fusions (conv/BN stacks) more room.
+SCOPED_VMEM_KIB = 65536
+
+
+def tpu_compiler_options() -> "dict | None":
+    """compiler_options for jit'ing programs that contain the fused train
+    kernels (None off-TPU: other backends reject TPU-only options)."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": str(SCOPED_VMEM_KIB)}
+
+
 def pallas_dims_reason(cfg) -> "str | None":
     """Why this config cannot use the fused TPU kernels (None = it can).
 

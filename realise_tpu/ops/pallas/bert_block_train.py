@@ -39,6 +39,7 @@ in f32, weight grads accumulate f32 (params are f32).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -62,7 +63,22 @@ _INV_SQRT2PI = 0.3989422804014327
 # H=768. The cap is a compiler default, not the physical VMEM size — raise
 # it for these kernels; inputs stream at ~1 MB/step so double-buffering
 # headroom is unaffected.
-_TRAIN_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
+_TRAIN_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
+def _train_block_b(b: int, per_ex_bytes: int, budget: int = 24 * 2**20,
+                   cap: int = 2) -> int:
+    """Examples folded into one grid step (the serving kernels' block_b,
+    bert_block.py:78-93): the projections and FFN matmuls then run at
+    (block_b·S, H) instead of (S, H). Swept on v5e at the production shape
+    (B=256, S=128, H=768): block_b=2 wins on every train kernel; 4+ loses
+    it back to VMEM pressure (attn f+b 4.88 ms at 2 vs 5.76 at 4), so the
+    cap defaults to 2. Largest power of two dividing ``b`` whose
+    per-example working set fits the budget."""
+    for cand in (cap, cap // 2, cap // 4, 4, 2, 1):
+        if cand >= 1 and b % cand == 0 and cand * per_ex_bytes <= budget:
+            return cand
+    return 1
 
 
 def _gelu_grad(t32):
@@ -141,6 +157,18 @@ def _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed, ex, p_rate):
     return jnp.concatenate(outs, axis=-1)
 
 
+def _block_keep_mask(seed, site: int, i, block_b: int, s: int, cols: int,
+                     keep: float):
+    """(block_b·s, cols) dropout multiplier, one per-example stream each —
+    the same masks whether the kernel processes 1 or block_b examples per
+    grid step, so forward and backward replay exactly at any block_b."""
+    rows = [
+        _keep_mask(_site_base(seed, site, i * block_b + bi), s, cols, keep)
+        for bi in range(block_b)
+    ]
+    return rows[0] if block_b == 1 else jnp.concatenate(rows, axis=0)
+
+
 def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                    p_rate, h_rate, interpret):
     """Training forward: returns y. Unlike the FFN block, no pre-LN
@@ -151,6 +179,8 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
+    # qkv/ctx/z32 working set per example ≈ 5·S·H·2B + S·H·4B + heads' S².
+    bb = _train_block_b(b, 5 * s * hdim * 2 + s * hdim * 4 + s * s * 4)
     wcast = lambda p: p["kernel"].astype(dtype)
     bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
                              (b, 8, s))
@@ -160,7 +190,7 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                bv_ref, wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref):
         i = pl.program_id(0)
         seed_s = seed_ref[0]
-        xf = x_ref[0]
+        xf = x_ref[:].reshape(bb * s, hdim)
         proj = lambda w_ref, b_ref: (
             jnp.dot(xf, w_ref[:],
                     preferred_element_type=jnp.float32).astype(dtype)
@@ -168,9 +198,13 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
         q = proj(wq_ref, bq_ref)
         k = proj(wk_ref, bk_ref)
         v = proj(wv_ref, bv_ref)
-        brow = bias_ref[0][0:1, :]
-        ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
-                              p_rate)
+        ctxs = []
+        for bi in range(bb):
+            rows = slice(bi * s, (bi + 1) * s)
+            ctxs.append(_attn_heads_fwd(
+                q[rows], k[rows], v[rows], bias_ref[bi][0:1, :], num_heads,
+                scale, seed_s, i * bb + bi, p_rate))
+        ctx = ctxs[0] if bb == 1 else jnp.concatenate(ctxs, axis=0)
         # Round the out-projection (and the dropout scaling) to the
         # activation dtype before the residual — the module contract, and
         # what the jnp path and the serving kernel (bert_block.py) compute.
@@ -178,21 +212,22 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                         preferred_element_type=jnp.float32).astype(dtype)
                 + bo_ref[:].astype(dtype))
         if h_rate > 0.0:
-            base = _site_base(seed_s, _SITE_ATTN_OUT, i)
-            attn = (attn.astype(jnp.float32)
-                    * _keep_mask(base, s, hdim, 1.0 - h_rate)).astype(dtype)
+            keep_h = _block_keep_mask(seed_s, _SITE_ATTN_OUT, i, bb, s,
+                                      hdim, 1.0 - h_rate)
+            attn = (attn.astype(jnp.float32) * keep_h).astype(dtype)
         z32 = xf.astype(jnp.float32) + attn.astype(jnp.float32)
-        o_ref[0] = _ln(z32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
+        o_ref[:] = _ln(z32, g_ref[:], be_ref[:],
+                       eps).astype(o_ref.dtype).reshape(bb, s, hdim)
 
-    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+    xspec = pl.BlockSpec((bb, s, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 8, s), lambda i: (i, 0, 0),
+    bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     y = pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(b // bb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, wspec, rspec, wspec, rspec, wspec, rspec,
                   wspec, rspec, rspec, rspec, bspec],
@@ -229,6 +264,9 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
+    # x/dy/q/k/v/ctx/dctx/dq/dk/dv ≈ 10 bf16 bufs + z32/dz f32 + scores.
+    bb = _train_block_b(b, 10 * s * hdim * 2 + 2 * s * hdim * 4
+                        + 2 * s * s * 4, cap=4)
     wcast = lambda p: p["kernel"].astype(dtype)
     bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
                              (b, 8, s))
@@ -247,7 +285,7 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
                         dbv_ref, dg_ref, dbe_ref):
                 ref[:] = jnp.zeros_like(ref)
 
-        xf = x_ref[0]
+        xf = x_ref[:].reshape(bb * s, hdim)
         # Recompute q/k/v, per-head probs (with dropout replay), ctx and
         # the pre-LN residual z in VMEM — z is NOT a stored residual (it is
         # one out-projection away from ctx, which the backward needs
@@ -259,25 +297,26 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
         q = proj(wq_ref, bq_ref)
         k = proj(wk_ref, bk_ref)
         v = proj(wv_ref, bv_ref)
-        brow = bias_ref[0][0:1, :]
-        # Probs are NOT stashed across heads (12 heads of f32 (S,S) ≈ 0.8 MB
-        # of VMEM) — each head's probs are recomputed in the grad loop
-        # below, ~2% extra FLOPs for the whole backward.
-        ctx = _attn_heads_fwd(q, k, v, brow, num_heads, scale, seed_s, i,
-                              p_rate)
-        ctx_ref[0] = ctx
+        ctxs = []
+        for bi in range(bb):
+            rows = slice(bi * s, (bi + 1) * s)
+            ctxs.append(_attn_heads_fwd(
+                q[rows], k[rows], v[rows], bias_ref[bi][0:1, :], num_heads,
+                scale, seed_s, i * bb + bi, p_rate))
+        ctx = ctxs[0] if bb == 1 else jnp.concatenate(ctxs, axis=0)
+        ctx_ref[:] = ctx.reshape(bb, s, hdim)
         # Same rounding as the forward (activation dtype at the out-proj
         # and after dropout) so the recomputed z32 is bit-identical.
         attn = (jnp.dot(ctx, wo_ref[:],
                         preferred_element_type=jnp.float32).astype(dtype)
                 + bo_ref[:].astype(dtype))
         if h_rate > 0.0:
-            base = _site_base(seed_s, _SITE_ATTN_OUT, i)
-            keep_h = _keep_mask(base, s, hdim, 1.0 - h_rate)
+            keep_h = _block_keep_mask(seed_s, _SITE_ATTN_OUT, i, bb, s,
+                                      hdim, 1.0 - h_rate)
             attn = (attn.astype(jnp.float32) * keep_h).astype(dtype)
         z32 = xf.astype(jnp.float32) + attn.astype(jnp.float32)
 
-        dy32 = dy_ref[0].astype(jnp.float32)
+        dy32 = dy_ref[:].reshape(bb * s, hdim).astype(jnp.float32)
         dz, dgamma, dbeta = _ln_bwd(z32, dy32, g_ref[:], eps)
         dg_ref[:] += dgamma
         dbe_ref[:] += dbeta
@@ -289,8 +328,8 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
         # ctx and dattn stream out; dWo = ctxᵀ·dattn and dbo = Σdattn run as
         # ONE batched XLA matmul/reduce outside — an f32 (H, H) dWo
         # accumulator plus Wo's grad buffer in here would tip the kernel
-        # over the 16 MB scoped-VMEM cap at H=768.
-        dattn_ref[0] = dattn_lo
+        # over the scoped-VMEM budget at H=768.
+        dattn_ref[:] = dattn_lo.reshape(bb, s, hdim)
 
         # dattn · Woᵀ without materializing the transpose in VMEM.
         dctx = jax.lax.dot_general(
@@ -298,40 +337,53 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
             preferred_element_type=jnp.float32).astype(dtype)
 
         dq_parts, dk_parts, dv_parts = [], [], []
-        for h in range(num_heads):
-            sl = slice(h * hd, (h + 1) * hd)
-            scores = jax.lax.dot_general(
-                q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            probs = jax.nn.softmax(scores * scale + brow, axis=-1)
-            if p_rate > 0.0:
-                base = _site_base(seed_s, _SITE_PROBS, i, head=h)
-                keep = _keep_mask(base, s, s, 1.0 - p_rate)
-                probs_d = probs * keep
-            else:
-                keep = None
-                probs_d = probs
-            # dv = P_dropᵀ · dctx
-            dv_parts.append(jax.lax.dot_general(
-                probs_d.astype(dtype), dctx[:, sl],
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-            # dP_drop = dctx · vᵀ ; replay dropout; softmax backward
-            dpd = jax.lax.dot_general(
-                dctx[:, sl], v[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            dp = dpd * keep if keep is not None else dpd
-            ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-            ds = (ds * scale).astype(dtype)
-            dq_parts.append(jnp.dot(ds, k[:, sl],
-                                    preferred_element_type=jnp.float32)
-                            .astype(dtype))
-            dk_parts.append(jax.lax.dot_general(
-                ds, q[:, sl], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        dq = jnp.concatenate(dq_parts, axis=-1)
-        dk = jnp.concatenate(dk_parts, axis=-1)
-        dv = jnp.concatenate(dv_parts, axis=-1)
+        for bi in range(bb):
+            rows = slice(bi * s, (bi + 1) * s)
+            brow = bias_ref[bi][0:1, :]
+            for h in range(num_heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                scores = jax.lax.dot_general(
+                    q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                probs = jax.nn.softmax(scores * scale + brow, axis=-1)
+                if p_rate > 0.0:
+                    base = _site_base(seed_s, _SITE_PROBS, i * bb + bi,
+                                      head=h)
+                    keep = _keep_mask(base, s, s, 1.0 - p_rate)
+                    probs_d = probs * keep
+                else:
+                    keep = None
+                    probs_d = probs
+                # dv = P_dropᵀ · dctx
+                dv_parts.append(jax.lax.dot_general(
+                    probs_d.astype(dtype), dctx[rows, sl],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype))
+                # dP_drop = dctx · vᵀ ; replay dropout; softmax backward
+                dpd = jax.lax.dot_general(
+                    dctx[rows, sl], v[rows, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                dp = dpd * keep if keep is not None else dpd
+                ds = probs * (dp - jnp.sum(dp * probs, axis=-1,
+                                           keepdims=True))
+                ds = (ds * scale).astype(dtype)
+                dq_parts.append(jnp.dot(
+                    ds, k[rows, sl],
+                    preferred_element_type=jnp.float32).astype(dtype))
+                dk_parts.append(jax.lax.dot_general(
+                    ds, q[rows, sl], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype))
+
+        def cat(parts):
+            # parts: bb × num_heads of (s, hd) → (bb·s, hdim).
+            per_ex = [jnp.concatenate(parts[bi * num_heads:
+                                            (bi + 1) * num_heads], axis=-1)
+                      for bi in range(bb)]
+            return per_ex[0] if bb == 1 else jnp.concatenate(per_ex, axis=0)
+
+        dq = cat(dq_parts)
+        dk = cat(dk_parts)
+        dv = cat(dv_parts)
 
         gw = lambda dout: jax.lax.dot_general(
             xf, dout, (((0,), (0,)), ((), ())),
@@ -347,18 +399,18 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
             d, w_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         dx = dz + dproj(dq, wq_ref) + dproj(dk, wk_ref) + dproj(dv, wv_ref)
-        dx_ref[0] = dx.astype(dx_ref.dtype)
+        dx_ref[:] = dx.astype(dx_ref.dtype).reshape(bb, s, hdim)
 
-    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+    xspec = pl.BlockSpec((bb, s, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((1, 8, s), lambda i: (i, 0, 0),
+    bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
     out = pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(b // bb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, xspec, wspec, rspec, wspec, rspec,
                   wspec, rspec, wspec, rspec, rspec, bspec],
@@ -452,17 +504,18 @@ attention_block_train.defvjp(_attn_train_fwd, _attn_train_bwd)
 # --------------------------------------------------------------------------
 def _ffn_splits(hdim: int, isz: int, itemsize: int) -> int:
     """Smallest split count keeping one split's weights + f32 weight-grads
-    within a ~12 MB budget. The binding constraint is NOT the Mosaic kernel
-    (whose vmem_limit is raised to 48 MB) but XLA's *own* 16 MB scoped-vmem
+    within the scoped-vmem budget. The binding constraint is NOT the Mosaic
+    kernel (whose vmem_limit is raised to 48 MB) but XLA's *own* scoped-vmem
     cap on the fusion wrapping the pallas_call: the f32 dw1/dw2 outputs
-    count against it, and at n=1 (H=768/I=3072: 18.9 MB of weight grads)
-    compilation dies with "exceeded scoped vmem limit" inside the layer
-    scan's transpose. n=3 re-reads x/z/dy from HBM per split (~0.9 GB/step
-    extra), which measures ~42% train MFU anyway — raising XLA's
-    --xla_tpu_scoped_vmem_limit_kib could buy the rest but is not
-    plumbable through this runtime's fixed terminal flags."""
+    count against it. The default cap (~16 MB) forced n=3 splits that
+    re-read x/z/dy from HBM per split (~0.9 GB/step extra, measured ~42%
+    train MFU); the Trainer now raises the cap per-compile via
+    jax.jit(compiler_options={"xla_tpu_scoped_vmem_limit_kib": ...})
+    (ops/pallas.tpu_compiler_options — XLA_FLAGS rejects the flag
+    client-side, but PJRT compile options accept it), so H=768/I=3072
+    fits n=1: ONE kernel per layer backward, x/z/dy read once."""
     per_col_bytes = 2 * hdim * (itemsize + 4)  # w1_j+w2_j, dw1_j+dw2_j
-    budget = 12 * 1024 * 1024
+    budget = 44 * 1024 * 1024
     best = None
     for n in (1, 2, 3, 4, 6, 8, 12, 16, 24, 32):
         if isz % n == 0:
@@ -497,25 +550,41 @@ def _ffn_fwd_splits(hdim: int, isz: int, itemsize: int) -> int:
     return _ffn_splits(hdim, isz, itemsize)
 
 
+# Save the pre-gelu FFN intermediate t1 (bf16, (B, S, I) per layer) in the
+# forward and skip its recompute matmul in the backward. Trades ~200 MB of
+# HBM per layer at the bench shape for one (rows, H)x(H, I) matmul per
+# layer-backward; measured via bench.py before enabling by default.
+def _save_t1() -> bool:
+    return os.environ.get("REALISE_TPU_FFN_SAVE_T1", "0") == "1"
+
+
 def _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret):
     b, s, hdim = x.shape
     isz_total = ffn_params["intermediate"]["kernel"].shape[1]
     dtype = x.dtype
     n_splits = _ffn_fwd_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
     isz = isz_total // n_splits
+    # x/z/y bufs + f32 acc + the (rows, isz) intermediate (f32 + bf16).
+    bb = _train_block_b(b, 3 * s * hdim * 2 + s * hdim * 4
+                        + s * isz * (4 + 2) // n_splits)
     w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
     w2 = ffn_params["output"]["kernel"].astype(dtype)
     ln = ffn_params["layer_norm"]
 
+    save_t1 = _save_t1()
+
     def kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, g_ref,
-               be_ref, o_ref, z_ref, acc_ref):
+               be_ref, o_ref, z_ref, *t1_refs):
         i = pl.program_id(0)
         j = pl.program_id(1)
-        x2 = x_ref[0]
-        inter = (jnp.dot(x2, w1_ref[:],
-                         preferred_element_type=jnp.float32).astype(dtype)
-                 + b1_ref[:].astype(dtype))
-        inter = _gelu_exact(inter.astype(jnp.float32)).astype(dtype)
+        acc_ref = t1_refs[-1]
+        x2 = x_ref[:].reshape(bb * s, hdim)
+        t1 = (jnp.dot(x2, w1_ref[:],
+                      preferred_element_type=jnp.float32).astype(dtype)
+              + b1_ref[:].astype(dtype))
+        if save_t1:
+            t1_refs[0][:] = t1.reshape(bb, s, isz)
+        inter = _gelu_exact(t1.astype(jnp.float32)).astype(dtype)
         part = jnp.dot(inter, w2_ref[:], preferred_element_type=jnp.float32)
 
         @pl.when(j == 0)
@@ -530,13 +599,14 @@ def _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret):
         def _():
             out = acc_ref[:] + b2_ref[:].astype(jnp.float32)
             if h_rate > 0.0:
-                base = _site_base(seed_ref[0], _SITE_FFN_OUT, i)
-                out = out * _keep_mask(base, s, hdim, 1.0 - h_rate)
+                out = out * _block_keep_mask(seed_ref[0], _SITE_FFN_OUT, i,
+                                             bb, s, hdim, 1.0 - h_rate)
             z32 = x2.astype(jnp.float32) + out
-            z_ref[0] = z32.astype(z_ref.dtype)
-            o_ref[0] = _ln(z32, g_ref[:], be_ref[:], eps).astype(o_ref.dtype)
+            z_ref[:] = z32.astype(z_ref.dtype).reshape(bb, s, hdim)
+            o_ref[:] = _ln(z32, g_ref[:], be_ref[:],
+                           eps).astype(o_ref.dtype).reshape(bb, s, hdim)
 
-    xspec = pl.BlockSpec((1, s, hdim), lambda i, j: (i, 0, 0),
+    xspec = pl.BlockSpec((bb, s, hdim), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     w1spec = pl.BlockSpec((hdim, isz), lambda i, j: (0, j),
                           memory_space=pltpu.VMEM)
@@ -546,44 +616,64 @@ def _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret):
                           memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM)
-    y, z = pl.pallas_call(
-        kernel, grid=(b, n_splits),
+    out_specs = [xspec, xspec]
+    out_shape = [jax.ShapeDtypeStruct((b, s, hdim), dtype),
+                 jax.ShapeDtypeStruct((b, s, hdim), dtype)]
+    if save_t1:
+        out_specs.append(pl.BlockSpec((bb, s, isz), lambda i, j: (i, 0, j),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, s, isz_total), dtype))
+    out = pl.pallas_call(
+        kernel, grid=(b // bb, n_splits),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, w1spec, b1spec, w2spec, rspec, rspec, rspec],
-        out_specs=(xspec, xspec),
-        out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),
-                   jax.ShapeDtypeStruct((b, s, hdim), dtype)),
-        scratch_shapes=[pltpu.VMEM((s, hdim), jnp.float32)],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((bb * s, hdim), jnp.float32)],
         interpret=interpret,
         compiler_params=_TRAIN_VMEM_LIMIT,
     )(seed, x, w1, _row(ffn_params["intermediate"]["bias"]), w2,
       _row(ffn_params["output"]["bias"]), _row(ln["scale"]),
       _row(ln["bias"]))
-    return y, z
+    if save_t1:
+        y, z, t1 = out
+        return y, z, t1
+    y, z = out
+    return y, z, None
 
 
-def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret):
+def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret,
+                  t1_saved=None):
     """Backward as ``n_splits`` sequential kernels over intermediate slices.
 
     Each call owns one column slice of W1 / row slice of W2 so its f32
     weight-grad accumulators fit VMEM; LN backward is recomputed per call
     (cheap VPU work), the residual/db2/dγ/dβ terms are emitted by the j==0
-    call only, and dx is the sum of the per-slice partials.
+    call only, and dx is the sum of the per-slice partials. With
+    ``t1_saved`` (the forward's pre-gelu intermediate) the x·W1 recompute
+    matmul is skipped entirely.
     """
     b, s, hdim = x.shape
     isz_total = ffn_params["intermediate"]["kernel"].shape[1]
     dtype = x.dtype
     n_splits = _ffn_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
     isz = isz_total // n_splits
+    # x/z/dy/dx + the (rows, isz) t1/inter/dinter transients (f32-heavy).
+    bb = _train_block_b(b, 4 * s * hdim * 2 + s * hdim * 4
+                        + s * (isz // n_splits) * 12, cap=4)
     ln = ffn_params["layer_norm"]
     w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
     w2 = ffn_params["output"]["kernel"].astype(dtype)
     b1 = _row(ffn_params["intermediate"]["bias"])
     f32 = jnp.float32
 
+    with_t1 = t1_saved is not None
+
     def make_kernel(first: bool):
         def kernel(seed_ref, x_ref, z_ref, dy_ref, w1_ref, b1_ref, w2_ref,
                    g_ref, *refs):
+            if with_t1:
+                t1_ref, refs = refs[0], refs[1:]
             if first:
                 (dx_ref, dw1_ref, db1_ref, dw2_ref, db2_ref, dg_ref,
                  dbe_ref) = refs
@@ -599,23 +689,26 @@ def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret):
                 for ref in grad_refs:
                     ref[:] = jnp.zeros_like(ref)
 
-            xf = x_ref[0]
-            z32 = z_ref[0].astype(f32)
-            dy32 = dy_ref[0].astype(f32)
+            xf = x_ref[:].reshape(bb * s, hdim)
+            z32 = z_ref[:].reshape(bb * s, hdim).astype(f32)
+            dy32 = dy_ref[:].reshape(bb * s, hdim).astype(f32)
             dz, dgamma, dbeta = _ln_bwd(z32, dy32, g_ref[:], eps)
             dout = dz
             if h_rate > 0.0:
-                base = _site_base(seed_ref[0], _SITE_FFN_OUT, i)
-                dout = dout * _keep_mask(base, s, hdim, 1.0 - h_rate)
+                dout = dout * _block_keep_mask(seed_ref[0], _SITE_FFN_OUT,
+                                               i, bb, s, hdim, 1.0 - h_rate)
             if first:
                 dg_ref[:] += dgamma
                 dbe_ref[:] += dbeta
                 db2_ref[:] += jnp.sum(dout, axis=0, keepdims=True)
             dout_lo = dout.astype(dtype)
 
-            t1 = (jnp.dot(xf, w1_ref[:],
-                          preferred_element_type=f32).astype(dtype)
-                  + b1_ref[:].astype(dtype))
+            if with_t1:
+                t1 = t1_ref[:].reshape(bb * s, isz)
+            else:
+                t1 = (jnp.dot(xf, w1_ref[:],
+                              preferred_element_type=f32).astype(dtype)
+                      + b1_ref[:].astype(dtype))
             t1_32 = t1.astype(f32)
             inter = _gelu_exact(t1_32).astype(dtype)
             dw2_ref[:] += jax.lax.dot_general(
@@ -634,11 +727,11 @@ def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret):
                 preferred_element_type=f32)
             if first:
                 dx = dx + dz
-            dx_ref[0] = dx.astype(dx_ref.dtype)
+            dx_ref[:] = dx.astype(dx_ref.dtype).reshape(bb, s, hdim)
 
         return kernel
 
-    xspec = pl.BlockSpec((1, s, hdim), lambda i: (i, 0, 0),
+    xspec = pl.BlockSpec((bb, s, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     w1spec = pl.BlockSpec((hdim, isz), lambda i: (0, 0),
                           memory_space=pltpu.VMEM)
@@ -661,17 +754,23 @@ def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret):
         if first:
             out_specs += [rspec, rspec, rspec]
             out_shape += [jax.ShapeDtypeStruct((1, hdim), f32)] * 3
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    xspec, xspec, xspec, w1spec, b1spec, w2spec, rspec]
+        operands = [seed, x, z, dy, w1[:, j * isz:(j + 1) * isz],
+                    b1[:, j * isz:(j + 1) * isz],
+                    w2[j * isz:(j + 1) * isz, :], _row(ln["scale"])]
+        if with_t1:
+            in_specs.append(pl.BlockSpec((bb, s, isz), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(t1_saved[:, :, j * isz:(j + 1) * isz])
         out = pl.pallas_call(
-            make_kernel(first), grid=(b,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                      xspec, xspec, xspec, w1spec, b1spec, w2spec, rspec],
+            make_kernel(first), grid=(b // bb,),
+            in_specs=in_specs,
             out_specs=tuple(out_specs),
             out_shape=tuple(out_shape),
             interpret=interpret,
             compiler_params=_TRAIN_VMEM_LIMIT,
-        )(seed, x, z, dy, w1[:, j * isz:(j + 1) * isz],
-          b1[:, j * isz:(j + 1) * isz], w2[j * isz:(j + 1) * isz, :],
-          _row(ln["scale"]))
+        )(*operands)
         if first:
             dx_j, dw1_j, db1_j, dw2_j, db2, dg, dbe = out
         else:
@@ -702,23 +801,23 @@ def ffn_block_train(x, ffn_params, seed, eps=1e-12, h_rate=0.0,
     """Differentiable fused FFN sub-block with in-kernel output dropout."""
     if interpret is None:
         interpret = _default_interpret()
-    y, _ = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
+    y, _, _ = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
     return y
 
 
 def _ffn_train_fwd(x, ffn_params, seed, eps, h_rate, interpret):
     if interpret is None:
         interpret = _default_interpret()
-    y, z = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
-    return y, (x, ffn_params, seed, z)
+    y, z, t1 = _ffn_fwd_impl(x, ffn_params, seed, eps, h_rate, interpret)
+    return y, (x, ffn_params, seed, z, t1)
 
 
 def _ffn_train_bwd(eps, h_rate, interpret, res, dy):
-    x, ffn_params, seed, z = res
+    x, ffn_params, seed, z, t1 = res
     if interpret is None:
         interpret = _default_interpret()
     dx, dparams = _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate,
-                                interpret)
+                                interpret, t1_saved=t1)
     dseed = np.zeros(seed.shape, dtype=jax.dtypes.float0)
     return dx, dparams, dseed
 

@@ -136,11 +136,20 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
             res["loss"] = out["loss"]
         return res
 
+    # TPU-only: raise XLA's scoped-vmem cap so the fused FFN backward can
+    # run as one kernel (f32 weight-grad outputs exceed the ~16 MB default)
+    # and XLA's own fusions (conv/BN) get more room. None off-TPU.
+    from realise_tpu.ops.pallas import tpu_compiler_options
+
+    copts = tpu_compiler_options()
+
     if not shard_pallas:
         return _StepFns(tx=tx,
                         train_step=jax.jit(train_step_impl,
-                                           donate_argnums=(0, 1, 2)),
-                        eval_step=jax.jit(eval_step_impl))
+                                           donate_argnums=(0, 1, 2),
+                                           compiler_options=copts),
+                        eval_step=jax.jit(eval_step_impl,
+                                          compiler_options=copts))
 
     # --------------------------------------------- shard_map (pallas × mesh)
     from jax import shard_map
@@ -179,7 +188,7 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
                   in_specs=(rep, rep, rep, dat, rep, rep, rep),
                   out_specs=(rep, rep, rep, rep),
                   check_vma=False),
-        donate_argnums=(0, 1, 2))
+        donate_argnums=(0, 1, 2), compiler_options=copts)
 
     eval_cache: Dict[bool, Any] = {}
 
@@ -203,7 +212,8 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
 
         return jax.jit(shard_map(shard_fn, mesh=mesh,
                                  in_specs=(rep, rep, dat, rep),
-                                 out_specs=out_specs, check_vma=False))
+                                 out_specs=out_specs, check_vma=False),
+                       compiler_options=copts)
 
     def sharded_eval_dispatch(params, state, batch, tables=None):
         # Labels: tgt_idx for CSC/pho-pretrain; res-pretrain's char_idx
@@ -387,8 +397,12 @@ class Trainer:
         loading different params (cli/train does, per checkpoint)."""
         from realise_tpu.models.realise import precompute_inference_tables
 
-        if self.pretrain or self.mesh is not None:
-            return False  # pretrain objectives / sharded params: skip
+        if self.pretrain:
+            return False  # pretrain objectives have no serving tables
+        if jax.process_count() > 1:
+            # Multi-host: the chunked table builders would need per-process
+            # global-array assembly; eval stays on the live path there.
+            return False
         cfg = self.cfg
         if not (cfg.with_res or cfg.pho_encoder == "pho2"):
             return False
@@ -397,9 +411,19 @@ class Trainer:
             t, l = featurizer.pho2_tables()
             idx, lens = jnp.asarray(t), jnp.asarray(l)
         ts = self.train_state
-        self._eval_tables = precompute_inference_tables(
+        tables = precompute_inference_tables(
             ts.params, ts.state, cfg, vocab_pho_idx=idx, vocab_pho_lens=lens,
             cache_dir=self.table_cache_dir)
+        if self.mesh is not None:
+            # Replicate over the mesh: each (V, H) table is ~33 MB bf16 —
+            # cheap next to the 2× eval speedup of skipping the live GRU
+            # scan + conv stack every batch (the shard_map eval path takes
+            # them through a replicated in_spec).
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            tables = jax.device_put(
+                tables, NamedSharding(self.mesh, PartitionSpec()))
+        self._eval_tables = tables
         return True
 
     def clear_eval_tables(self):
