@@ -121,6 +121,12 @@ class Corrector:
         s_max = self.cfg.max_seq_length
         self._buckets = sorted({min(int(b), s_max)
                                 for b in length_buckets} | {s_max})
+        # Batch-dim buckets: a single-sentence request computes 1 row, not
+        # batch_size rows (latency engineering — the round-2 design padded
+        # every request to the full batch). Same static-shape discipline:
+        # one jit specialization per (batch_bucket, seq_bucket).
+        self._batch_buckets = sorted(
+            {b for b in (1, 8) if b < batch_size} | {batch_size})
 
     def _bucket_for(self, sentences: Sequence[str]) -> int:
         # +2 for [CLS]/[SEP]; WordPiece can only shrink char counts for CJK.
@@ -130,11 +136,18 @@ class Corrector:
                 return b
         return self._buckets[-1]
 
+    def _batch_bucket_for(self, n: int) -> int:
+        for b in self._batch_buckets:
+            if n <= b:
+                return b
+        return self._batch_buckets[-1]
+
     def warmup(self, all_buckets: bool = False) -> None:
         """Trigger the jit compile so the first request is fast."""
         if all_buckets:
             for b in self._buckets:
-                self.correct_batch(["好" * min(b - 2, 4)], seq_len=b)
+                for n in self._batch_buckets:
+                    self.correct_batch(["好" * min(b - 2, 4)] * n, seq_len=b)
         else:
             self.correct(["好"])
 
@@ -142,13 +155,15 @@ class Corrector:
                       seq_len: Optional[int] = None) -> List[str]:
         """One device batch (≤ batch_size sentences) → corrected strings.
 
-        The device sees exactly one shape per length bucket: short batches
-        are padded to ``batch_size`` rows (repeating the last sentence) so
-        the jit never re-specializes on the request size."""
+        The device sees one static shape per (batch, length) bucket pair:
+        requests are padded (repeating the last sentence) to the smallest
+        batch bucket that fits, so the jit never re-specializes on the
+        request size and one sentence never pays for batch_size rows."""
         n = len(sentences)
         if n == 0:
             return []
-        padded = list(sentences) + [sentences[-1]] * (self.batch_size - n)
+        rows = self._batch_bucket_for(n)
+        padded = list(sentences) + [sentences[-1]] * (rows - n)
         host = self.featurizer.featurize_raw(
             padded, native=self.native,
             seq_len=seq_len or self._bucket_for(sentences))

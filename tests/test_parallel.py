@@ -89,6 +89,24 @@ _WORKER = textwrap.dedent("""
     out = tr.eval_step(batch)
     assert out["pred_idx"].shape == (8, 12), out["pred_idx"].shape
 
+    # Checkpoint save under the multi-process mesh: arrays are NOT fully
+    # addressable here, so save_checkpoint must take the process_allgather
+    # branch (checkpoint.py _to_host). Each process writes its own dir
+    # (the allgather is collective; the file writes must not race).
+    import tempfile
+
+    import numpy as np
+    from realise_tpu.training.checkpoint import (load_checkpoint,
+                                                 save_checkpoint)
+
+    ts = tr.train_state
+    assert not ts.params["head"]["bias"].is_fully_addressable
+    d = save_checkpoint(tempfile.mkdtemp(), 1, ts.params, ts.state, cfg=cfg)
+    restored = load_checkpoint(d)
+    want = np.asarray(ts.params["head"]["bias"].addressable_data(0))
+    got = np.asarray(restored["params"]["head"]["bias"])
+    assert np.array_equal(got, want), "allgather save round-trip mismatch"
+
     print(f"RESULT {pid} {loss:.6f} main={int(is_main_process())}",
           flush=True)
 """)

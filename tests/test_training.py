@@ -32,6 +32,14 @@ TINY = dict(hidden_size=24, num_hidden_layers=1, num_attention_heads=2,
             hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0)
 
 
+
+@pytest.fixture(scope="module")
+def tokenizer(small_tokenizer):
+    """Shadow the session 21k-vocab tokenizer: these are model-SEMANTICS
+    tests; the small vocab cuts V-proportional compute (factorized scans,
+    inference tables, tied head) that dominated their wall clock."""
+    return small_tokenizer
+
 def _setup(tokenizer, model_type="bert-pho2-res-arch3", **kw):
     cfg = config_for(model_type, vocab_size=len(tokenizer), **{**TINY, **kw})
     feat = Featurizer(tokenizer, cfg)
@@ -95,6 +103,27 @@ def test_data_parallel_matches_single_device(tokenizer):
     a = np.asarray(tr_dp.train_state.params["head"]["bias"])
     b = np.asarray(tr_1.train_state.params["head"]["bias"])
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_sharded_eval_fast_path_matches_live(tokenizer):
+    """A data-mesh Trainer gets the table fast path too (round-2 review:
+    the tables were skipped whenever a mesh was set, so multi-chip eval
+    paid the live GRU scan + conv stack every batch). Table-path
+    predictions must equal the live path on an 8-device mesh, through both
+    the GSPMD eval step and the shard_map (pallas) eval step."""
+    cfg, params, state, batch = _setup(tokenizer)
+    feat = Featurizer(tokenizer, cfg)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    mesh = make_mesh({"data": 8})
+    for use_pallas in (False, True):
+        tr = Trainer(cfg, copy(params), copy(state), mesh=mesh,
+                     use_pallas=use_pallas)
+        tr.clear_eval_tables()
+        slow = tr.eval_step(batch)
+        assert tr.prepare_eval_tables(feat)
+        fast = tr.eval_step(batch)
+        np.testing.assert_array_equal(slow["pred_idx"], fast["pred_idx"])
+        np.testing.assert_allclose(slow["loss"], fast["loss"], rtol=1e-5)
 
 
 def test_tensor_parallel_forward_matches(tokenizer):
@@ -203,6 +232,80 @@ def test_checkpoint_roundtrip(tokenizer, tmp_path):
         jax.tree.map(jnp.asarray, restored["state"]), batch, cfg)
     np.testing.assert_allclose(np.asarray(out_a["logits"]),
                                np.asarray(out_b["logits"]), atol=1e-6)
+
+
+@pytest.mark.parametrize("axes", [{"data": 8}, {"data": 4, "model": 2}])
+def test_checkpoint_topology_portability(tokenizer, tmp_path, axes):
+    """Save under a mesh, restore on a single device — and the reverse —
+    with identical pytrees and an identical next training step (the claim
+    at checkpoint.py: host-numpy serialization is topology-free). Covers
+    full train state: params, BN/glyph state, AND optimizer moments."""
+    from realise_tpu.training.trainer import TrainState
+
+    cfg, params, state, batch = _setup(tokenizer)
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    mesh = make_mesh(axes)
+    name = "x".join(f"{k}{v}" for k, v in axes.items())
+
+    def inject(tr, ckpt_dir, shard_mesh=None):
+        ts = tr.train_state
+        template = jax.tree.map(np.asarray, {
+            "params": ts.params, "state": ts.state,
+            "opt_state": ts.opt_state, "step": 0})
+        restored = load_checkpoint(ckpt_dir, template=template)
+        as_dev = jnp.asarray
+        if shard_mesh is not None:
+            p_sh = param_shardings(restored["params"], shard_mesh)
+            params = jax.device_put(restored["params"], p_sh)
+            st = jax.device_put(
+                restored["state"],
+                param_shardings(restored["state"], shard_mesh))
+            opt = jax.device_put(
+                restored["opt_state"],
+                param_shardings(restored["opt_state"], shard_mesh))
+        else:
+            params = jax.tree.map(as_dev, restored["params"])
+            st = jax.tree.map(as_dev, restored["state"])
+            opt = jax.tree.map(as_dev, restored["opt_state"])
+        tr.train_state = TrainState(params, st, opt,
+                                    step=int(restored["step"]))
+        return restored
+
+    # --- save on the mesh, restore single-device ---
+    tr_mesh = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                      mesh=mesh, seed=7)
+    tr_mesh.train_step(batch)  # non-trivial Adam moments + BN state
+    ts = tr_mesh.train_state
+    d = save_checkpoint(str(tmp_path / name), int(ts.step), ts.params,
+                        ts.state, ts.opt_state, cfg=cfg)
+    tr_single = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                        seed=7)
+    restored = inject(tr_single, d)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        jax.tree.map(np.asarray, ts.params), restored["params"])
+    tr_single.train_state = TrainState(tr_single.train_state.params,
+                                       tr_single.train_state.state,
+                                       tr_single.train_state.opt_state,
+                                       step=int(ts.step))
+    l_mesh = float(tr_mesh.train_step(batch))
+    l_single = float(tr_single.train_step(batch))
+    np.testing.assert_allclose(l_single, l_mesh, rtol=1e-5)
+
+    # --- save single-device, restore onto the mesh ---
+    ts1 = tr_single.train_state
+    d1 = save_checkpoint(str(tmp_path / (name + "_rev")), int(ts1.step),
+                         ts1.params, ts1.state, ts1.opt_state, cfg=cfg)
+    tr_mesh2 = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                       mesh=mesh, seed=7)
+    inject(tr_mesh2, d1, shard_mesh=mesh)
+    tr_mesh2.train_state = TrainState(tr_mesh2.train_state.params,
+                                      tr_mesh2.train_state.state,
+                                      tr_mesh2.train_state.opt_state,
+                                      step=int(ts1.step))
+    l_mesh2 = float(tr_mesh2.train_step(batch))
+    l_single2 = float(tr_single.train_step(batch))
+    np.testing.assert_allclose(l_mesh2, l_single2, rtol=1e-5)
 
 
 def test_list_and_retain_top_k(tmp_path):
