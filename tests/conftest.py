@@ -40,6 +40,29 @@ def tokenizer(vocab_list):
 
 
 @pytest.fixture(scope="session")
+def small_vocab_list(vocab_list):
+    """~400-entry vocab with the same KINDS of entries as the full one
+    (specials, ascii, '##' continuations, multi-char pieces, CJK chars).
+
+    Model-semantics tests don't need the full ~21k vocabulary — with it,
+    every vocab-factorized scan / inference-table build / tied-head matmul
+    drags V≈21k of real compute through a tiny-model test (measured: the
+    three heaviest tests spent >60 s each on exactly that)."""
+    is_cjk = lambda t: len(t) == 1 and "一" <= t <= "鿿"
+    head = [t for t in vocab_list if not is_cjk(t)]
+    cjk = [t for t in vocab_list if is_cjk(t)][:300]
+    return head + cjk
+
+
+@pytest.fixture(scope="session")
+def small_tokenizer(small_vocab_list):
+    from realise_tpu.text.tokenizer import WordPieceTokenizer
+    from realise_tpu.text.vocab import vocab_to_dict
+
+    return WordPieceTokenizer(vocab_to_dict(small_vocab_list))
+
+
+@pytest.fixture(scope="session")
 def tiny_config():
     """A tiny arch3 config in the spirit of the reference's library tests
     (tiny randomly-initialized configs, transformers/tests/modeling_bert_test.py:43+)."""
@@ -58,3 +81,20 @@ def tiny_config():
         max_position_embeddings=64,
         num_fonts=2,
     )
+
+
+# Persistent XLA compile cache for the test lane: the suite's wall clock is
+# dominated by XLA:CPU compiles (the same tiny-model programs, re-built in
+# every xdist worker on every run). Cached executables cut a warm run's
+# wall clock several-fold. XLA:CPU logs noisy machine-feature-mismatch
+# errors when reloading AOT results (its feature fingerprint includes
+# tuning pseudo-flags); they are benign on the same host. Opt out with
+# REALISE_TPU_NO_COMPILE_CACHE=1.
+if not os.environ.get("REALISE_TPU_NO_COMPILE_CACHE"):
+    _cache_dir = os.environ.get(
+        "REALISE_TPU_COMPILE_CACHE",
+        os.path.expanduser("~/.cache/realise_tpu/xla-tests"))
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

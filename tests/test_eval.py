@@ -15,6 +15,14 @@ import numpy as np
 import pytest
 
 
+
+@pytest.fixture(scope="module")
+def tokenizer(small_tokenizer):
+    """Shadow the session 21k-vocab tokenizer: these are model-SEMANTICS
+    tests; the small vocab cuts V-proportional compute (factorized scans,
+    inference tables, tied head) that dominated their wall clock."""
+    return small_tokenizer
+
 @pytest.fixture(scope="module")
 def eval_env(tokenizer):
     from realise_tpu.config import config_for

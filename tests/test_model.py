@@ -23,6 +23,14 @@ TINY = dict(vocab_size=0, hidden_size=24, num_hidden_layers=2,
             max_seq_length=16, max_position_embeddings=32, num_fonts=2)
 
 
+
+@pytest.fixture(scope="module")
+def tokenizer(small_tokenizer):
+    """Shadow the session 21k-vocab tokenizer: these are model-SEMANTICS
+    tests; the small vocab cuts V-proportional compute (factorized scans,
+    inference tables, tied head) that dominated their wall clock."""
+    return small_tokenizer
+
 @pytest.fixture(scope="module")
 def featurized(tokenizer):
     cfg = config_for("bert-pho2-res-arch3",

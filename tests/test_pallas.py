@@ -9,6 +9,14 @@ from realise_tpu.config import RealiseConfig
 from realise_tpu.ops.bert import attention_bias_from_mask
 
 
+
+@pytest.fixture(scope="module")
+def tokenizer(small_tokenizer):
+    """Shadow the session 21k-vocab tokenizer: these are model-SEMANTICS
+    tests; the small vocab cuts V-proportional compute (factorized scans,
+    inference tables, tied head) that dominated their wall clock."""
+    return small_tokenizer
+
 def test_attention_block_matches_jnp(tokenizer):
     """Fused attention-block kernel == the jnp sub-block (q/k/v proj ->
     attention -> out proj -> residual LN), including padding-mask handling."""
