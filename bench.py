@@ -96,7 +96,9 @@ def compiled_flops(jitted, *args):
 
 
 def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
-                                batch_size: int = 1) -> float:
+                                batch_size: int = 1,
+                                pho_rows: int = 0,
+                                res_rows: int = 0) -> float:
     """Dense-matmul FLOP count for one S-token sentence of the arch3 model.
 
     Per BERT layer (2·M·K·N per matmul): q/k/v/out 8SH², scores+ctx 4S²H,
@@ -116,12 +118,17 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
     per_layer = 8 * s * h * h + 4 * s * s * h + 4 * s * h * i
     fwd = layers * per_layer + 2 * s * h * v
     if not fast_path:
-        # Vocabulary factorization (models/realise.py): when B·S > V the
-        # GRU/conv streams run per VOCAB row, so the per-sentence share of
-        # their FLOPs shrinks by V/(B·S). Counting the smaller number keeps
-        # MFU honest — the factorized step must not get credit for work it
-        # skipped.
-        stream_scale = min(1.0, v / float(batch_size * s))
+        # Vocabulary factorization (models/realise.py): when B·S exceeds a
+        # stream's row count the GRU/conv run per UNIQUE row (deduplicated
+        # pinyin sequences / glyph images — install_pho_vocab_tables /
+        # install_glyphs; V when the state predates dedup), so the
+        # per-sentence share of their FLOPs shrinks by rows/(B·S).
+        # Counting the smaller number keeps MFU honest — the factorized
+        # step must not get credit for work it skipped. ``pho_rows`` /
+        # ``res_rows``: the actual factorized row counts (default V).
+        pho_rows = pho_rows or v
+        res_rows = res_rows or v
+        stream_scale = min(1.0, pho_rows / float(batch_size * s))
         if stream_scale < 1.0:
             # Factorized scan folds the input projection through the
             # 33-symbol pinyin alphabet (ops/gru.py
@@ -146,7 +153,8 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
             conv += 2 * 9 * ch * ch * sp * sp        # conv2
             conv += 2 * 1 * prev * ch * sp * sp      # 1×1 shortcut
             prev = ch
-        fwd += stream_scale * s * conv
+        res_scale = min(1.0, res_rows / float(batch_size * s))
+        fwd += res_scale * s * conv
     return fwd * (3.0 if train else 1.0)
 
 
@@ -376,6 +384,14 @@ def main():
     print(json.dumps(result))
 
 
+def _stream_rows(state):
+    """Actual factorized row counts for honest MFU accounting (0 → V)."""
+    pho = state.get("pho_uniq_idx")
+    res = state.get("res_uniq_images")
+    return ((pho.shape[0] if pho is not None else 0),
+            (res.shape[0] if res is not None else 0))
+
+
 def _measure_inference(args, result, infer_step, full_fwd, params, state,
                        infer_batch, bs, cfg_full, peak):
     """Returns (sent_per_sec, infer_mfu) for the serving fast path; writes
@@ -401,8 +417,11 @@ def _measure_inference(args, result, infer_step, full_fwd, params, state,
     # --- full forward (training-shaped eval) ---
     ff_sec = time_fn(lambda: full_fwd(params, state, infer_batch),
                      iters=max(args.iters // 2, 3))
+    pho_rows, res_rows = _stream_rows(state)
     ff_flops = bs * analytic_flops_per_sentence(cfg_full, fast_path=False,
-                                                train=False, batch_size=bs)
+                                                train=False, batch_size=bs,
+                                                pho_rows=pho_rows,
+                                                res_rows=res_rows)
     result["full_forward_sentences_per_sec"] = round(bs / ff_sec, 1)
     result["full_forward_mfu"] = round(ff_flops / ff_sec / peak, 3)
     _log(f"full_forward: {bs / ff_sec:.1f} sent/s ({ff_sec * 1e3:.2f} ms), "
@@ -437,10 +456,13 @@ def _measure_train(args, result, trainer, batch, bs, cfg_full, peak):
     compiled_flops(trainer._train_step, ts.params, ts.state,
                    ts.opt_state, dbatch, step_arr, trainer.base_rng,
                    lr_arr)
+    pho_rows, res_rows = _stream_rows(ts.state)
     train_flops = bs * analytic_flops_per_sentence(cfg_full,
                                                    fast_path=False,
                                                    train=True,
-                                                   batch_size=bs)
+                                                   batch_size=bs,
+                                                   pho_rows=pho_rows,
+                                                   res_rows=res_rows)
 
     def one_step():
         t = trainer.train_state

@@ -152,10 +152,11 @@ def main(argv=None):
         state = {**restored["state"]}
         if glyphs is not None:
             state["char_images"] = state.get("char_images", glyphs)
-        if pho_tables is not None and "pho_vocab_idx" not in state:
-            # Older checkpoints predate the per-vocab GRU tables.
-            state["pho_vocab_idx"] = jnp.asarray(pho_tables[0], jnp.int32)
-            state["pho_vocab_lens"] = jnp.asarray(pho_tables[1], jnp.int32)
+        if pho_tables is not None and "pho_uniq_idx" not in state:
+            # Older checkpoints predate the per-vocab GRU tables (or their
+            # deduplicated form) — install both from the featurizer.
+            from realise_tpu.models.realise import install_pho_vocab_tables
+            install_pho_vocab_tables(state, pho_tables[0], pho_tables[1])
     if args.pho_ckpt or args.res_ckpt:
         pho = load_checkpoint(args.pho_ckpt) if args.pho_ckpt else None
         res = load_checkpoint(args.res_ckpt) if args.res_ckpt else None

@@ -127,17 +127,83 @@ def _cfg_cache_key(cfg: RealiseConfig) -> str:
     return json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str)
 
 
+def install_pho_vocab_tables(state: Dict, idx, lens) -> Dict:
+    """Install the (V, P) per-vocab pinyin tables plus their deduplicated
+    form: distinct pinyin sequences number only ~2k against V≈21k (every
+    char of a homophone set shares one row), so the factorized GRU scans
+    unique rows and tokens gather through ``pho_uniq_inverse`` — ~10x fewer
+    scan rows and a (B·S, U) instead of (B·S, V) gather backward, same
+    function. Rows are padded to a multiple of 128 (zero-length: the scan
+    returns the zero state, and no inverse entry points at padding)."""
+    idx_np = np.asarray(idx, np.int32)
+    lens_np = np.asarray(lens, np.int32)
+    state["pho_vocab_idx"] = jnp.asarray(idx_np)
+    state["pho_vocab_lens"] = jnp.asarray(lens_np)
+    rows = np.concatenate([idx_np, lens_np[:, None]], axis=1)
+    uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+    pad = (-uniq.shape[0]) % 128
+    if pad:
+        uniq = np.concatenate(
+            [uniq, np.zeros((pad, uniq.shape[1]), uniq.dtype)], axis=0)
+    state["pho_uniq_idx"] = jnp.asarray(uniq[:, :-1], jnp.int32)
+    state["pho_uniq_lens"] = jnp.asarray(uniq[:, -1], jnp.int32)
+    state["pho_uniq_inverse"] = jnp.asarray(inverse, jnp.int32)
+    return state
+
+
+def _vocab_pho_from_state(state: Dict):
+    """(idx, lens, inverse_or_None) for the factorized GRU, preferring the
+    deduplicated tables; None when no tables are installed."""
+    if "pho_uniq_idx" in state:
+        return (state["pho_uniq_idx"], state["pho_uniq_lens"],
+                state["pho_uniq_inverse"])
+    if "pho_vocab_idx" in state:
+        # Restored state predating the dedup tables.
+        return (state["pho_vocab_idx"], state["pho_vocab_lens"], None)
+    return None
+
+
+def install_glyphs(state: Dict, glyphs) -> Dict:
+    """Install the frozen (V, F, 32, 32) glyph tensor plus its deduplicated
+    form: non-CJK vocab entries all rasterize to the zero image (and any
+    bitwise-identical glyphs collapse too), so the factorized conv stream
+    runs the CharResNet over unique images only and tokens gather through
+    ``res_uniq_inverse`` — same function, BN statistics pooled by weight.
+    Rows are padded to a multiple of 128 with zero images (weight 0 at
+    train time; no inverse entry points at padding)."""
+    glyphs_np = np.asarray(glyphs, np.float32)
+    state["char_images"] = jnp.asarray(glyphs_np)
+    v = glyphs_np.shape[0]
+    flat = np.ascontiguousarray(glyphs_np.reshape(v, -1))
+    # Bitwise row dedup via a void view (memcmp sort, one-time at init).
+    rows = flat.view(np.dtype((np.void, flat.dtype.itemsize * flat.shape[1])))
+    _, first, inverse = np.unique(rows.ravel(), return_index=True,
+                                  return_inverse=True)
+    uniq = glyphs_np[first]
+    if uniq.shape[0] > 0.75 * v:
+        # Barely any sharing (e.g. synthetic all-CJK vocabs): the second
+        # glyph tensor would cost ~duplicate HBM for a few percent of conv
+        # rows — keep the plain per-vocab path. The real BERT-Chinese vocab
+        # is ~36% renderable, where the dedup cuts conv rows ~2.8x.
+        return state
+    pad = (-uniq.shape[0]) % 128
+    if pad:
+        uniq = np.concatenate(
+            [uniq, np.zeros((pad,) + uniq.shape[1:], uniq.dtype)], axis=0)
+    state["res_uniq_images"] = jnp.asarray(uniq)
+    state["res_uniq_inverse"] = jnp.asarray(inverse, jnp.int32)
+    return state
+
+
 def _install_constants(state: Dict, cfg: RealiseConfig, glyphs, pho_tables):
     """Eager (non-traced) state constants: glyph tensor + pho vocab tables."""
     if pho_tables is not None and cfg.pho_encoder == "pho2":
-        idx, lens = pho_tables
-        state["pho_vocab_idx"] = jnp.asarray(idx, jnp.int32)
-        state["pho_vocab_lens"] = jnp.asarray(lens, jnp.int32)
+        install_pho_vocab_tables(state, pho_tables[0], pho_tables[1])
     if cfg.with_res:
         if glyphs is None:
             glyphs = jnp.zeros((cfg.vocab_size, cfg.num_fonts,
                                 cfg.glyph_size, cfg.glyph_size), jnp.float32)
-        state["char_images"] = jnp.asarray(glyphs, jnp.float32)
+        install_glyphs(state, glyphs)
     return state
 
 
@@ -222,42 +288,54 @@ def tie_cls_weight_noop():
 # Streams
 # ==========================================================================
 def _factorized_gru(pho_params, vocab_pho, src_idx, dtype):
-    """Vocabulary-factorized GRU: scan once per VOCAB row, gather per token.
+    """Vocabulary-factorized GRU: scan once per UNIQUE pinyin row, gather
+    per token.
 
-    The GRU output depends only on the token id, so when the batch has more
-    token slots than the vocabulary has entries this is a strictly smaller
-    scan (V < B·S), flat in batch size; the gather's matmul transpose
-    (ops/layers.py table_gather) accumulates the cotangents into the (V, H)
-    table, making parameter gradients exactly equal to the per-token path.
-    The scan itself folds the input projection through the 33-symbol pinyin
-    alphabet (ops/gru.py gru_last_hidden_factored) — same function, ~half
-    the GRU matmul FLOPs and no (V, P, 3H) backward stash. Shared by the
-    fine-tune pho2 stream and the pho2-pretrain objective."""
-    vp_idx, vp_lens = vocab_pho
+    The GRU output depends only on the token id — and, one step further,
+    only on the token's pinyin sequence, which homophones share — so the
+    scan runs over the deduplicated (U≈2k, P) rows (vocab_pho carries the
+    (V,) inverse mapping) instead of B·S token slots or V vocab rows; the
+    gather's matmul transpose (ops/layers.py table_gather) accumulates the
+    cotangents into the (U, H) table, making parameter gradients exactly
+    equal to the per-token path. The scan itself folds the input projection
+    through the 33-symbol pinyin alphabet (ops/gru.py
+    gru_last_hidden_factored) — same function, ~half the GRU matmul FLOPs
+    and no (rows, P, 3H) backward stash. Shared by the fine-tune pho2
+    stream and the pho2-pretrain objective."""
+    vp_idx, vp_lens, inverse = vocab_pho
     table = gru_last_hidden_factored(
         pho_params["gru"],
         pho_params["embeddings"]["embedding"].astype(dtype),
         vp_idx, vp_lens)
-    return table_gather(table, src_idx)
+    ids = src_idx if inverse is None else jnp.take(inverse, src_idx, axis=0)
+    return table_gather(table, ids)
 
 
 def _factorized_conv(resnet_params, state, src_idx, train,
                      cfg: RealiseConfig, dtype):
-    """Vocabulary-factorized CharResNet: convolve each VOCAB glyph once and
-    gather per token (V < B·S conv rows). BN batch statistics stay exactly
-    the per-instance statistics by weighting each vocab row with its
-    occurrence count (ops/resnet.py batch_norm weights) — including count 0
-    for absent chars — so this computes the identical function (and,
-    through the gather transpose, identical gradients) to the per-token
-    conv. Returns ((B, S, H) features, new BN state)."""
-    v = state["char_images"].shape[0]
-    counts = jnp.zeros((v,), jnp.float32).at[src_idx.reshape(-1)].add(1.0)
-    images = jnp.transpose(state["char_images"], (0, 2, 3, 1)).astype(dtype)
-    feats_v, new_bn = char_resnet(
+    """Vocabulary-factorized CharResNet: convolve each UNIQUE glyph once and
+    gather per token (G ≤ V < B·S conv rows; see install_glyphs — the ~60%
+    of the vocab without a CJK glyph shares one zero-image row). BN batch
+    statistics stay exactly the per-instance statistics by weighting each
+    row with its occurrence count (ops/resnet.py batch_norm weights) —
+    identical rows pool their counts, absent rows count 0 — so this
+    computes the identical function (and, through the gather transpose,
+    identical gradients) to the per-token conv. Returns ((B, S, H)
+    features, new BN state)."""
+    if "res_uniq_images" in state:
+        images_v = state["res_uniq_images"]
+        ids = jnp.take(state["res_uniq_inverse"], src_idx, axis=0)
+    else:  # restored state predating the dedup tables
+        images_v = state["char_images"]
+        ids = src_idx
+    g = images_v.shape[0]
+    counts = jnp.zeros((g,), jnp.float32).at[ids.reshape(-1)].add(1.0)
+    images = jnp.transpose(images_v, (0, 2, 3, 1)).astype(dtype)
+    feats_g, new_bn = char_resnet(
         resnet_params, state["resnet"], images, train=train,
         variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
         weights=counts if train else None)
-    return table_gather(feats_v, src_idx), new_bn
+    return table_gather(feats_g, ids), new_bn
 
 
 def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
@@ -270,8 +348,9 @@ def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
     ``extra_embeds``: raw features summed into the GRU hiddens *before* the
     pho BERT — the merged-fusion models feed raw resnet features here
     (src/models.py:487-489 SpellBertPho2Res: pho_hiddens + res_hiddens →
-    shared pho_res_model). ``vocab_pho``: optional (vocab_pho_idx (V, P),
-    vocab_pho_lens (V,)) enabling the per-vocab factorized scan."""
+    shared pho_res_model). ``vocab_pho``: optional (idx (U, P), lens (U,),
+    inverse (V,)|None) enabling the factorized scan over unique pinyin
+    rows (see _vocab_pho_from_state)."""
     b, s = batch["src_idx"].shape
     dtype = jnp.dtype(cfg.dtype)
 
@@ -448,11 +527,10 @@ def apply_realise(
     # GRU scan + conv stack instead of per-token, gathered by id — enabled
     # when the vocab pinyin tables were installed in state (init_realise
     # pho_tables) and the batch has more token slots than vocab entries.
-    vocab_pho = None
+    vocab_pho = _vocab_pho_from_state(state)
     pho_factorized = False
-    if "pho_vocab_idx" in state:
-        vocab_pho = (state["pho_vocab_idx"], state["pho_vocab_lens"])
-        pho_factorized = b_tokens > state["pho_vocab_idx"].shape[0]
+    if vocab_pho is not None:
+        pho_factorized = b_tokens > vocab_pho[0].shape[0]
         if pho_factorized:
             # The factorized scans run over V rows with tiny constant
             # inputs; their stashes are batch-size-independent, so remat
@@ -734,13 +812,12 @@ def apply_pretrain(
     # pho2-pretrain / pho2-res-pretrain operate on full sequences.
     b, s = batch["src_idx"].shape
     attention_mask = batch["masks"]
-    factorized = ("pho_vocab_idx" in state
-                  and b * s > state["pho_vocab_idx"].shape[0])
+    vocab_pho = _vocab_pho_from_state(state)
+    factorized = vocab_pho is not None and b * s > vocab_pho[0].shape[0]
     if factorized:
         # Vocabulary factorization, as in the fine-tune streams.
-        hidden = _factorized_gru(
-            params["pho"], (state["pho_vocab_idx"], state["pho_vocab_lens"]),
-            batch["src_idx"], dtype)
+        hidden = _factorized_gru(params["pho"], vocab_pho,
+                                 batch["src_idx"], dtype)
     else:
         pho_idx = batch["pho_idx"].reshape(b * s, -1)
         pho_lens = batch["pho_lens"].reshape(b * s)

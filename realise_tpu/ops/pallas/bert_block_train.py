@@ -74,7 +74,9 @@ def _train_block_b(b: int, per_ex_bytes: int, budget: int = 24 * 2**20,
     (B=256, S=128, H=768): block_b=2 wins on every train kernel; 4+ loses
     it back to VMEM pressure (attn f+b 4.88 ms at 2 vs 5.76 at 4), so the
     cap defaults to 2. Largest power of two dividing ``b`` whose
-    per-example working set fits the budget."""
+    per-example working set fits the budget. REALISE_TPU_TRAIN_BB_CAP
+    overrides the cap for on-device sweeps (tools/bench_kernels.py)."""
+    cap = int(os.environ.get("REALISE_TPU_TRAIN_BB_CAP", cap))
     for cand in (cap, cap // 2, cap // 4, 4, 2, 1):
         if cand >= 1 and b % cand == 0 and cand * per_ex_bytes <= budget:
             return cand
@@ -169,12 +171,23 @@ def _block_keep_mask(seed, site: int, i, block_b: int, s: int, cols: int,
     return rows[0] if block_b == 1 else jnp.concatenate(rows, axis=0)
 
 
+# Stream q/k/v out of the training forward (3 extra (B, S, H) bf16 writes
+# per layer ≈ 151 MB at the bench shape) so the backward reads them instead
+# of recomputing the three input projections (≈ 232 GFLOP/layer at B=256).
+# Bit-exact either way — the recompute is the same deterministic matmul.
+# Measured via bench.py before flipping the default (cf. FFN_SAVE_T1, which
+# lost: its stash is 4x bigger per saved matmul).
+def _save_qkv() -> bool:
+    return os.environ.get("REALISE_TPU_ATTN_SAVE_QKV", "0") == "1"
+
+
 def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
-                   p_rate, h_rate, interpret):
-    """Training forward: returns y. Unlike the FFN block, no pre-LN
-    residual is saved — the backward recomputes z from x (it recomputes
-    q/k/v/ctx anyway, so z costs one extra out-projection matmul and saves
-    a (B, S, H) residual per layer in HBM)."""
+                   p_rate, h_rate, interpret, save_qkv=False):
+    """Training forward: returns (y, qkv_or_None). Unlike the FFN block, no
+    pre-LN residual is saved — the backward recomputes z from x (it has
+    ctx in hand anyway, so z costs one extra out-projection matmul and
+    saves a (B, S, H) residual per layer in HBM). With ``save_qkv`` the
+    q/k/v projections stream out as residuals for the backward."""
     b, s, hdim = x.shape
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
@@ -187,7 +200,8 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
     ln = attn_params["layer_norm"]
 
     def kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-               bv_ref, wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref):
+               bv_ref, wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref,
+               *qkv_refs):
         i = pl.program_id(0)
         seed_s = seed_ref[0]
         xf = x_ref[:].reshape(bb * s, hdim)
@@ -198,6 +212,10 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
         q = proj(wq_ref, bq_ref)
         k = proj(wk_ref, bk_ref)
         v = proj(wv_ref, bv_ref)
+        if save_qkv:
+            qkv_refs[0][:] = q.reshape(bb, s, hdim)
+            qkv_refs[1][:] = k.reshape(bb, s, hdim)
+            qkv_refs[2][:] = v.reshape(bb, s, hdim)
         ctxs = []
         for bi in range(bb):
             rows = slice(bi * s, (bi + 1) * s)
@@ -226,13 +244,14 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    y = pl.pallas_call(
+    n_out = 4 if save_qkv else 1
+    out = pl.pallas_call(
         kernel, grid=(b // bb,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   xspec, wspec, rspec, wspec, rspec, wspec, rspec,
                   wspec, rspec, rspec, rspec, bspec],
-        out_specs=xspec,
-        out_shape=jax.ShapeDtypeStruct((b, s, hdim), dtype),
+        out_specs=(xspec,) * n_out,
+        out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),) * n_out,
         interpret=interpret,
         compiler_params=_TRAIN_VMEM_LIMIT,
     )(seed, x,
@@ -241,7 +260,9 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
       wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
       wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
       _row(ln["scale"]), _row(ln["bias"]), bias2)
-    return y
+    if save_qkv:
+        return out[0], out[1:]
+    return out[0], None
 
 
 def _ln_bwd(z32, dy32, g_row, eps):
@@ -259,14 +280,17 @@ def _ln_bwd(z32, dy32, g_row, eps):
 
 
 def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
-                   p_rate, h_rate, interpret):
+                   p_rate, h_rate, interpret, qkv=None):
     b, s, hdim = x.shape
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
-    # x/dy/q/k/v/ctx/dctx/dq/dk/dv ≈ 10 bf16 bufs + z32/dz f32 + scores.
+    with_qkv = qkv is not None
+    # x/dy/q/k/v/ctx/dctx/dq/dk/dv ≈ 10 bf16 bufs + z32/dz f32 + the
+    # per-head probs/keep stash (12 heads × (S, S) f32 × 2).
     bb = _train_block_b(b, 10 * s * hdim * 2 + 2 * s * hdim * 4
-                        + 2 * s * s * 4, cap=4)
+                        + num_heads * s * s * (8 if p_rate > 0.0 else 4),
+                        cap=4)
     wcast = lambda p: p["kernel"].astype(dtype)
     bias2 = jnp.broadcast_to(bias.reshape(b, 1, s).astype(jnp.float32),
                              (b, 8, s))
@@ -274,8 +298,11 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
 
     def kernel(seed_ref, x_ref, dy_ref, wq_ref, bq_ref, wk_ref,
                bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, g_ref, bias_ref,
-               dx_ref, ctx_ref, dattn_ref, dwq_ref, dbq_ref, dwk_ref,
-               dbk_ref, dwv_ref, dbv_ref, dg_ref, dbe_ref):
+               *refs):
+        if with_qkv:
+            (q_ref, k_ref, v_ref), refs = refs[:3], refs[3:]
+        (dx_ref, ctx_ref, dattn_ref, dwq_ref, dbq_ref, dwk_ref,
+         dbk_ref, dwv_ref, dbv_ref, dg_ref, dbe_ref) = refs
         i = pl.program_id(0)
         seed_s = seed_ref[0]
 
@@ -286,23 +313,50 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
                 ref[:] = jnp.zeros_like(ref)
 
         xf = x_ref[:].reshape(bb * s, hdim)
-        # Recompute q/k/v, per-head probs (with dropout replay), ctx and
-        # the pre-LN residual z in VMEM — z is NOT a stored residual (it is
-        # one out-projection away from ctx, which the backward needs
-        # anyway; storing it would cost (B, S, H) HBM per layer).
-        proj = lambda w_ref, b_ref: (
-            jnp.dot(xf, w_ref[:],
-                    preferred_element_type=jnp.float32).astype(dtype)
-            + b_ref[:].astype(dtype))
-        q = proj(wq_ref, bq_ref)
-        k = proj(wk_ref, bk_ref)
-        v = proj(wv_ref, bv_ref)
-        ctxs = []
+        # q/k/v: read the forward's streamed projections when available,
+        # else recompute (bit-identical — same deterministic matmul).
+        if with_qkv:
+            q = q_ref[:].reshape(bb * s, hdim)
+            k = k_ref[:].reshape(bb * s, hdim)
+            v = v_ref[:].reshape(bb * s, hdim)
+        else:
+            proj = lambda w_ref, b_ref: (
+                jnp.dot(xf, w_ref[:],
+                        preferred_element_type=jnp.float32).astype(dtype)
+                + b_ref[:].astype(dtype))
+            q = proj(wq_ref, bq_ref)
+            k = proj(wk_ref, bk_ref)
+            v = proj(wv_ref, bv_ref)
+        # ONE scores/softmax/dropout-hash pass per (example, head): the f32
+        # probs and keep masks are stashed in VMEM and reused by the grad
+        # loop below — the values are bit-identical to a recompute, and the
+        # hash + exp are the kernel's dominant VPU cost (measured 0.8
+        # ms/layer f+b at rate 0.1 vs 0.0, tools/bench_kernels.py).
+        probs_all, keep_all, ctxs = [], [], []
         for bi in range(bb):
             rows = slice(bi * s, (bi + 1) * s)
-            ctxs.append(_attn_heads_fwd(
-                q[rows], k[rows], v[rows], bias_ref[bi][0:1, :], num_heads,
-                scale, seed_s, i * bb + bi, p_rate))
+            brow = bias_ref[bi][0:1, :]
+            outs = []
+            for h in range(num_heads):
+                sl = slice(h * hd, (h + 1) * hd)
+                scores = jax.lax.dot_general(
+                    q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                probs = jax.nn.softmax(scores * scale + brow, axis=-1)
+                if p_rate > 0.0:
+                    base = _site_base(seed_s, _SITE_PROBS, i * bb + bi,
+                                      head=h)
+                    keep = _keep_mask(base, s, s, 1.0 - p_rate)
+                    probs_d = probs * keep
+                else:
+                    keep = None
+                    probs_d = probs
+                probs_all.append(probs)
+                keep_all.append(keep)
+                outs.append(jnp.dot(
+                    probs_d.astype(dtype), v[rows, sl],
+                    preferred_element_type=jnp.float32).astype(dtype))
+            ctxs.append(jnp.concatenate(outs, axis=-1))
         ctx = ctxs[0] if bb == 1 else jnp.concatenate(ctxs, axis=0)
         ctx_ref[:] = ctx.reshape(bb, s, hdim)
         # Same rounding as the forward (activation dtype at the out-proj
@@ -339,21 +393,11 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
         dq_parts, dk_parts, dv_parts = [], [], []
         for bi in range(bb):
             rows = slice(bi * s, (bi + 1) * s)
-            brow = bias_ref[bi][0:1, :]
             for h in range(num_heads):
                 sl = slice(h * hd, (h + 1) * hd)
-                scores = jax.lax.dot_general(
-                    q[rows, sl], k[rows, sl], (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                probs = jax.nn.softmax(scores * scale + brow, axis=-1)
-                if p_rate > 0.0:
-                    base = _site_base(seed_s, _SITE_PROBS, i * bb + bi,
-                                      head=h)
-                    keep = _keep_mask(base, s, s, 1.0 - p_rate)
-                    probs_d = probs * keep
-                else:
-                    keep = None
-                    probs_d = probs
+                probs = probs_all[bi * num_heads + h]
+                keep = keep_all[bi * num_heads + h]
+                probs_d = probs * keep if keep is not None else probs
                 # dv = P_dropᵀ · dctx
                 dv_parts.append(jax.lax.dot_general(
                     probs_d.astype(dtype), dctx[rows, sl],
@@ -409,11 +453,21 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
     bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                xspec, xspec, wspec, rspec, wspec, rspec,
+                wspec, rspec, wspec, rspec, rspec, bspec]
+    operands = [seed, x, dy,
+                wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
+                wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
+                wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+                wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
+                _row(ln["scale"]), bias2]
+    if with_qkv:
+        in_specs += [xspec, xspec, xspec]
+        operands += list(qkv)
     out = pl.pallas_call(
         kernel, grid=(b // bb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  xspec, xspec, wspec, rspec, wspec, rspec,
-                  wspec, rspec, wspec, rspec, rspec, bspec],
+        in_specs=in_specs,
         out_specs=(xspec, xspec, xspec, wspec, rspec, wspec, rspec,
                    wspec, rspec, rspec, rspec),
         out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),
@@ -429,12 +483,7 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
                    jax.ShapeDtypeStruct((1, hdim), f32)),
         interpret=interpret,
         compiler_params=_TRAIN_VMEM_LIMIT,
-    )(seed, x, dy,
-      wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
-      wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
-      wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
-      wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
-      _row(ln["scale"]), bias2)
+    )(*operands)
     (dx, ctx, dattn, dwq, dbq, dwk, dbk, dwv, dbv, dg, dbe) = out
     # The out-projection grads from the streamed ctx/dattn — one batched
     # XLA matmul, exactly the math the kernel would have accumulated.
@@ -467,25 +516,28 @@ def attention_block_train(x, attn_params, bias, seed, num_heads,
     """
     if interpret is None:
         interpret = _default_interpret()
-    return _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
+    y, _ = _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                           p_rate, h_rate, interpret)
+    return y
 
 
 def _attn_train_fwd(x, attn_params, bias, seed, num_heads, eps, p_rate,
                     h_rate, interpret):
     if interpret is None:
         interpret = _default_interpret()
-    y = _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
-                       p_rate, h_rate, interpret)
-    return y, (x, attn_params, bias, seed)
+    y, qkv = _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
+                            p_rate, h_rate, interpret,
+                            save_qkv=_save_qkv())
+    return y, (x, attn_params, bias, seed, qkv)
 
 
 def _attn_train_bwd(num_heads, eps, p_rate, h_rate, interpret, res, dy):
-    x, attn_params, bias, seed = res
+    x, attn_params, bias, seed, qkv = res
     if interpret is None:
         interpret = _default_interpret()
     dx, dparams = _attn_bwd_impl(x, attn_params, bias, seed, dy,
-                                 num_heads, eps, p_rate, h_rate, interpret)
+                                 num_heads, eps, p_rate, h_rate, interpret,
+                                 qkv=qkv)
     # Cotangent dtype must equal the primal's (bf16 bias → bf16 zeros);
     # jax's custom_vjp dtype check only tolerates f32-for-bf16 via a
     # deprecated escape hatch.
@@ -658,9 +710,10 @@ def _ffn_bwd_impl(x, ffn_params, seed, z, dy, eps, h_rate, interpret,
     dtype = x.dtype
     n_splits = _ffn_splits(hdim, isz_total, jnp.dtype(dtype).itemsize)
     isz = isz_total // n_splits
-    # x/z/dy/dx + the (rows, isz) t1/inter/dinter transients (f32-heavy).
+    # x/z/dy/dx + the (rows, isz) t1/inter/dinter transients (f32-heavy;
+    # isz here is already the per-split width).
     bb = _train_block_b(b, 4 * s * hdim * 2 + s * hdim * 4
-                        + s * (isz // n_splits) * 12, cap=4)
+                        + s * isz * 12, cap=4)
     ln = ffn_params["layer_norm"]
     w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
     w2 = ffn_params["output"]["kernel"].astype(dtype)

@@ -262,7 +262,7 @@ def test_vocab_factorized_streams_match_per_token():
                                      pho_tables=feat.pho2_tables())
     assert "pho_vocab_idx" in state_fac
     state_tok = {k: v for k, v in state_fac.items()
-                 if k not in ("pho_vocab_idx", "pho_vocab_lens")}
+                 if not k.startswith(("pho_vocab_", "pho_uniq_"))}
 
     def loss(params, state):
         out = apply_realise(params, state, batch, cfg, deterministic=False,
@@ -316,7 +316,7 @@ def test_vocab_factorized_pretrain_matches_per_token():
                                       pho_tables=feat.pho2_tables())
     assert "pho_vocab_idx" in state_fac
     state_tok = {k: v for k, v in state_fac.items()
-                 if k not in ("pho_vocab_idx", "pho_vocab_lens")}
+                 if not k.startswith(("pho_vocab_", "pho_uniq_"))}
 
     def loss(params, state):
         out = apply_pretrain(params, state, batch, cfg, deterministic=False,
