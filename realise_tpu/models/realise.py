@@ -453,13 +453,54 @@ def masked_cross_entropy_sum(logits: jax.Array, labels: jax.Array,
 
     Exposed separately so gradient accumulation can normalize by the *global*
     valid-token count across microbatches — averaging per-microbatch means
-    would weight tokens unevenly when lengths differ."""
+    would weight tokens unevenly when lengths differ.
+
+    Custom VJP: at head scale ((B·S, V) = (32768, 21128) on the bench) the
+    logits tensor is 1.4 GB bf16, so every extra materialized pass over it
+    costs ~1.7 ms of v5e HBM time. Autodiff of the logsumexp formulation
+    materializes an f32 copy of the logits (2.8 GB) plus an f32 dlogits
+    before the cast back to bf16. The hand VJP keeps the convert fused
+    into the reductions, saves only the per-row logz/gold (a few hundred
+    KB), and emits dlogits in the logits' own dtype in one fused
+    exp-subtract-scale pass."""
+    return _masked_ce_sum(logits, labels, loss_mask)
+
+
+@jax.custom_vjp
+def _masked_ce_sum(logits, labels, loss_mask):
+    logz, gold, m = _ce_rowwise(logits, labels, loss_mask)
+    return ((logz - gold) * m).sum(), m.sum()
+
+
+def _ce_rowwise(logits, labels, loss_mask):
+    """Per-row (logz, gold logit, mask) in f32; converts fuse into reduces."""
     logits32 = logits.astype(jnp.float32)
     logz = jax.nn.logsumexp(logits32, axis=-1)
     gold = jnp.take_along_axis(logits32, labels[..., None], axis=-1)[..., 0]
-    nll = logz - gold
-    m = loss_mask.astype(jnp.float32)
-    return (nll * m).sum(), m.sum()
+    return logz, gold, loss_mask.astype(jnp.float32)
+
+
+def _masked_ce_sum_fwd(logits, labels, loss_mask):
+    logz, gold, m = _ce_rowwise(logits, labels, loss_mask)
+    return (((logz - gold) * m).sum(), m.sum()), (logits, labels, m, logz)
+
+
+def _masked_ce_sum_bwd(res, ct):
+    logits, labels, m, logz = res
+    dsum = ct[0]  # cotangent of the NLL sum; count output is non-diff here
+    # dlogits = dsum · m · (softmax(logits) − onehot(labels)), emitted in
+    # the logits dtype. The onehot never materializes: the iota==label
+    # compare fuses into the same elementwise pass as the exp.
+    scale = (dsum * m)[..., None]
+    p = jnp.exp(logits.astype(jnp.float32) - logz[..., None])
+    one = jnp.equal(
+        jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1),
+        labels[..., None])
+    dlogits = ((p - one.astype(jnp.float32)) * scale).astype(logits.dtype)
+    return dlogits, None, None
+
+
+_masked_ce_sum.defvjp(_masked_ce_sum_fwd, _masked_ce_sum_bwd)
 
 
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array,

@@ -328,3 +328,74 @@ def test_vocab_factorized_pretrain_matches_per_token():
     np.testing.assert_allclose(float(l_fac), float(l_tok), rtol=1e-6)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), atol=1e-5), g_fac, g_tok)
+
+
+def test_unique_row_tables_reconstruct_and_gate():
+    """install_glyphs / install_pho_vocab_tables: the deduplicated tables
+    must reconstruct the originals through their inverse, and the glyph
+    dedup must stand down when the vocab shares too few glyphs (the second
+    image tensor would waste HBM for no conv-row cut)."""
+    from realise_tpu.models.realise import (install_glyphs,
+                                            install_pho_vocab_tables)
+
+    rng = np.random.RandomState(0)
+    # 64 distinct glyphs spread over 512 vocab rows (dedup profitable).
+    base = rng.randn(64, 2, 8, 8).astype(np.float32)
+    assign = rng.randint(0, 64, size=512)
+    glyphs = base[assign]
+    state = install_glyphs({}, glyphs)
+    assert state["res_uniq_images"].shape[0] == 128  # 64 padded to 128
+    rebuilt = np.asarray(state["res_uniq_images"])[
+        np.asarray(state["res_uniq_inverse"])]
+    np.testing.assert_array_equal(rebuilt, glyphs)
+
+    # >75% unique rows: keep the plain per-vocab path, no duplicate tensor.
+    state2 = install_glyphs({}, rng.randn(64, 2, 8, 8).astype(np.float32))
+    assert "res_uniq_images" not in state2
+
+    # Pinyin tables: same reconstruction property (dedup always installed).
+    idx = rng.randint(0, 30, size=(512, 6)).astype(np.int32)
+    lens = rng.randint(0, 7, size=512).astype(np.int32)
+    idx[assign == 0] = 0  # force sharing
+    lens[assign == 0] = 3
+    st = install_pho_vocab_tables({}, idx, lens)
+    inv = np.asarray(st["pho_uniq_inverse"])
+    np.testing.assert_array_equal(np.asarray(st["pho_uniq_idx"])[inv], idx)
+    np.testing.assert_array_equal(np.asarray(st["pho_uniq_lens"])[inv], lens)
+    assert st["pho_uniq_idx"].shape[0] % 128 == 0
+
+
+def test_masked_ce_sum_custom_vjp_matches_autodiff():
+    """The fused CE VJP (bf16 dlogits, no materialized onehot) must match
+    plain autodiff of the logsumexp formulation in value and gradient."""
+    from realise_tpu.models.realise import masked_cross_entropy_sum
+
+    def ref(logits, labels, m):
+        l32 = logits.astype(jnp.float32)
+        logz = jax.nn.logsumexp(l32, axis=-1)
+        gold = jnp.take_along_axis(l32, labels[..., None], axis=-1)[..., 0]
+        return ((logz - gold) * m.astype(jnp.float32)).sum()
+
+    rng = np.random.RandomState(0)
+    for dt in (jnp.float32, jnp.bfloat16):
+        logits = jnp.asarray(rng.randn(37, 53) * 3, dtype=dt)
+        labels = jnp.asarray(rng.randint(0, 53, 37))
+        m = jnp.asarray(rng.randint(0, 2, 37))
+        s_new, g_new = jax.value_and_grad(
+            lambda l: masked_cross_entropy_sum(l, labels, m)[0])(logits)
+        s_ref, g_ref = jax.value_and_grad(
+            lambda l: ref(l, labels, m))(logits)
+        np.testing.assert_allclose(float(s_new), float(s_ref), rtol=1e-6)
+        assert g_new.dtype == dt  # dlogits stays in the logits dtype
+        np.testing.assert_allclose(
+            np.asarray(g_new, np.float32),
+            np.asarray(g_ref.astype(dt), np.float32), rtol=2e-2, atol=1e-6)
+        # Outer scaling must flow through the cotangent.
+        g2 = jax.grad(
+            lambda l: 3.5 * masked_cross_entropy_sum(l, labels, m)[0])(logits)
+        np.testing.assert_allclose(
+            np.asarray(g2, np.float32),
+            np.asarray((3.5 * g_ref).astype(dt), np.float32),
+            rtol=2e-2, atol=1e-6)
+        assert float(masked_cross_entropy_sum(logits, labels, m)[1]) == \
+            float(np.asarray(m).sum())

@@ -224,6 +224,33 @@ def test_keep_mask_rate_and_determinism():
     assert abs(float(np.mean(rates)) - 0.9) < 0.01, np.mean(rates)
 
 
+def test_keep_mask_dual_sample_stream(monkeypatch):
+    """REALISE_TPU_DROPOUT_SAMPLES=2 (two 16-bit Bernoulli draws per hash)
+    must still hit the keep rate, scale survivors by 1/keep, stay
+    deterministic, and fall back to the 24-bit stream when cols % 256 != 0."""
+    from realise_tpu.ops.pallas.bert_block_train import _keep_mask, _site_base
+
+    monkeypatch.setenv("REALISE_TPU_DROPOUT_SAMPLES", "2")
+    rates = []
+    for ex in range(16):
+        base = _site_base(jnp.int32(77), 5, jnp.int32(ex))
+        m = np.asarray(_keep_mask(base, 64, 256, 0.9))
+        rates.append((m > 0).mean())
+        np.testing.assert_array_equal(m, np.asarray(_keep_mask(base, 64, 256, 0.9)))
+        np.testing.assert_allclose(m[m > 0], 1.0 / 0.9, rtol=1e-6)
+    assert abs(float(np.mean(rates)) - 0.9) < 0.01, np.mean(rates)
+
+    # Left/right column halves draw from different bits of the same hash —
+    # they must not be copies of each other.
+    m = np.asarray(_keep_mask(jnp.uint32(4242), 64, 256, 0.5)) > 0
+    assert abs(float((m[:, :128] == m[:, 128:]).mean()) - 0.5) < 0.05
+
+    # Odd-vreg widths keep the classic stream (identical to samples=1).
+    a = np.asarray(_keep_mask(jnp.uint32(9), 64, 128, 0.5))
+    monkeypatch.setenv("REALISE_TPU_DROPOUT_SAMPLES", "1")
+    np.testing.assert_array_equal(a, np.asarray(_keep_mask(jnp.uint32(9), 64, 128, 0.5)))
+
+
 def test_keep_mask_nearby_bases_give_disjoint_streams():
     """Bases closer than rows*cols must NOT share a shifted run of bits
     (the old single-round ``_mix(base + idx)`` did): agreement between two

@@ -1,12 +1,15 @@
 """Aggregate device-op durations from a jax.profiler trace.
 
 Usage: python tools/trace_report.py /tmp/ttrace [--steps N] [--top K]
+           [--by source|op]
 
-Parses the perfetto trace.json.gz that ``jax.profiler.trace`` writes,
-keeps only TPU device-track complete events, groups them by op name
-(with the autogenerated fusion suffixes stripped), and prints total /
-per-step time so kernel work can be attacked in measured order
-(VERDICT round-2 task #1: trace-driven MFU work).
+Parses the perfetto trace.json.gz that ``jax.profiler.trace`` writes and
+prints per-op (or per-source-line) SELF time on the TPU device tracks so
+kernel work can be attacked in measured order (VERDICT round-2 task #1:
+trace-driven MFU work). Self time = event duration minus the duration of
+events nested inside it on the same thread lane — module/while/call spans
+therefore report only their own gaps, not their children's work, and the
+table sums to the true busy time.
 """
 
 from __future__ import annotations
@@ -37,12 +40,37 @@ def canon(name: str) -> str:
     return _STRIP.sub("", name)
 
 
+def self_times_simple(lane_events):
+    """Self time per key via interval nesting (events sorted, a stack).
+
+    Stack frames are [start, dur, key, child_dur]; a frame's self time is
+    its duration minus the total duration of events nested inside it."""
+    out = collections.Counter()
+    calls = collections.Counter()
+    stack = []
+    events = sorted(lane_events, key=lambda e: (e[0], -e[1]))
+    for ts, dur, key in events:
+        while stack and ts >= stack[-1][0] + stack[-1][1] - 1e-9:
+            s, d, k, child = stack.pop()
+            out[k] += max(d - child, 0.0)
+        if stack:
+            stack[-1][3] += dur
+        stack.append([ts, dur, key, 0.0])
+        calls[key] += 1
+    while stack:
+        s, d, k, child = stack.pop()
+        out[k] += max(d - child, 0.0)
+    return out, calls
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("trace_dir")
     ap.add_argument("--steps", type=int, default=None,
                     help="divide totals by this many steps")
     ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--by", choices=("op", "source"), default="op",
+                    help="aggregate by op name or by args.source file:line")
     args = ap.parse_args()
 
     path = find_trace_file(args.trace_dir)
@@ -50,8 +78,6 @@ def main() -> None:
         data = json.load(f)
     events = data["traceEvents"]
 
-    # Identify device tracks: process names containing 'TPU' (the device
-    # XLA op track is labeled like '/device:TPU:0' or 'TPU:0').
     pid_name = {}
     tid_name = {}
     for e in events:
@@ -63,39 +89,46 @@ def main() -> None:
     device_pids = {p for p, n in pid_name.items()
                    if "TPU" in n.upper() or "device" in n.lower()}
 
-    per_op = collections.Counter()
-    per_op_n = collections.Counter()
-    total = 0.0
+    lanes = collections.defaultdict(list)
     t_lo, t_hi = float("inf"), 0.0
     for e in events:
         if e.get("ph") != "X" or e.get("pid") not in device_pids:
             continue
         tname = tid_name.get((e["pid"], e["tid"]), "")
-        # Skip derived rows (step markers, scopes) — keep XLA op lanes.
         if "Steps" in tname or "Framework" in tname or "Scope" in tname:
             continue
         dur = float(e.get("dur", 0.0))
-        name = canon(e.get("name", "?"))
-        per_op[name] += dur
-        per_op_n[name] += 1
-        total += dur
         ts = float(e.get("ts", 0.0))
+        if args.by == "source":
+            key = (e.get("args") or {}).get("source", "") or \
+                canon(e.get("name", "?"))
+        else:
+            key = canon(e.get("name", "?"))
+        lanes[(e["pid"], e["tid"])].append((ts, dur, key))
         t_lo = min(t_lo, ts)
         t_hi = max(t_hi, ts + dur)
 
+    per_key = collections.Counter()
+    per_key_n = collections.Counter()
+    for lane_events in lanes.values():
+        out, calls = self_times_simple(lane_events)
+        per_key.update(out)
+        per_key_n.update(calls)
+
+    total = sum(per_key.values())
     span = (t_hi - t_lo) if total else 0.0
     div = args.steps or 1
     print(f"trace: {path}")
     print(f"device tracks: "
           f"{[n for p, n in pid_name.items() if p in device_pids]}")
-    print(f"busy total: {total / 1e3:.1f} ms over span {span / 1e3:.1f} ms "
-          f"(idle {100 * (1 - total / span) if span else 0:.1f}%)"
+    print(f"self-time total: {total / 1e3:.1f} ms over span "
+          f"{span / 1e3:.1f} ms (idle {100 * (1 - total / span) if span else 0:.1f}%)"
           + (f"; per step: busy {total / div / 1e3:.2f} ms" if args.steps
              else ""))
-    print(f"{'op':60s} {'ms/step':>9s} {'%busy':>6s} {'calls':>7s}")
-    for name, dur in per_op.most_common(args.top):
-        print(f"{name[:60]:60s} {dur / div / 1e3:9.3f} "
-              f"{100 * dur / total:6.2f} {per_op_n[name] // div:7d}")
+    print(f"{'key':64s} {'ms/step':>9s} {'%busy':>6s} {'calls':>7s}")
+    for name, dur in per_key.most_common(args.top):
+        print(f"{str(name)[:64]:64s} {dur / div / 1e3:9.3f} "
+              f"{100 * dur / total:6.2f} {per_key_n[name] // div:7d}")
 
 
 if __name__ == "__main__":
