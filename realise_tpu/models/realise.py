@@ -99,19 +99,34 @@ def init_head(key, cfg: RealiseConfig):
     raise ValueError(f"unknown head {cfg.head!r}")
 
 
-def apply_head(params, cfg: RealiseConfig, hidden: jax.Array,
-               word_embeddings: Optional[jax.Array]) -> jax.Array:
+def apply_head_split(params, cfg: RealiseConfig, hidden: jax.Array,
+                     word_embeddings: Optional[jax.Array]):
+    """(logits_without_bias, f32 (V,) bias) — split so the training path can
+    fold the bias into the CE reductions (masked_cross_entropy_sum) instead
+    of materializing the (B·S, V) biased tensor; eval paths re-add it."""
     if cfg.head == "linear_tied":
         logits = jnp.matmul(hidden, word_embeddings.astype(hidden.dtype).T,
                             preferred_element_type=hidden.dtype)
-        return logits + params["bias"].astype(hidden.dtype)
+        return logits, params["bias"]
     if cfg.head == "linear":
-        return dense(params["classifier"], hidden)
-    if cfg.head == "mlm":
+        p = params["classifier"]
+    elif cfg.head == "mlm":
+        # dense → gelu → LN → untied decoder (+bias)
         h = ACTIVATIONS[cfg.hidden_act](dense(params["transform"], hidden))
         h = layer_norm(params["layer_norm"], h, cfg.layer_norm_eps)
-        return dense(params["decoder"], h)
-    raise ValueError(f"unknown head {cfg.head!r}")
+        p = params["decoder"]
+        hidden = h
+    else:
+        raise ValueError(f"unknown head {cfg.head!r}")
+    logits = jnp.matmul(hidden, p["kernel"].astype(hidden.dtype),
+                        preferred_element_type=hidden.dtype)
+    return logits, p["bias"]
+
+
+def apply_head(params, cfg: RealiseConfig, hidden: jax.Array,
+               word_embeddings: Optional[jax.Array]) -> jax.Array:
+    logits, bias = apply_head_split(params, cfg, hidden, word_embeddings)
+    return logits + bias.astype(logits.dtype)
 
 
 # Init draws happen on the host (ops/layers.py host_normal): drawing
@@ -447,8 +462,9 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
 # ==========================================================================
 # Loss
 # ==========================================================================
-def masked_cross_entropy_sum(logits: jax.Array, labels: jax.Array,
-                             loss_mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+def masked_cross_entropy_sum(
+        logits: jax.Array, labels: jax.Array, loss_mask: jax.Array,
+        bias: Optional[jax.Array] = None) -> Tuple[jax.Array, jax.Array]:
     """(sum of NLL over masked positions, number of masked positions) in f32.
 
     Exposed separately so gradient accumulation can normalize by the *global*
@@ -462,8 +478,16 @@ def masked_cross_entropy_sum(logits: jax.Array, labels: jax.Array,
     before the cast back to bf16. The hand VJP keeps the convert fused
     into the reductions, saves only the per-row logz/gold (a few hundred
     KB), and emits dlogits in the logits' own dtype in one fused
-    exp-subtract-scale pass."""
-    return _masked_ce_sum(logits, labels, loss_mask)
+    exp-subtract-scale pass.
+
+    ``bias``: optional f32 (V,) head bias, folded into the reductions with
+    the EXACT rounding of the unfused path (cast to the logits dtype, f32
+    add, round back — bit-identical to ``logits + bias.astype(dtype)``)
+    so the training step never materializes the biased (B·S, V) tensor;
+    its gradient (the row-sum of dlogits) fuses into the dlogits pass."""
+    if bias is None:
+        return _masked_ce_sum(logits, labels, loss_mask)
+    return _masked_ce_sum_b(logits, bias, labels, loss_mask)
 
 
 @jax.custom_vjp
@@ -472,9 +496,21 @@ def _masked_ce_sum(logits, labels, loss_mask):
     return ((logz - gold) * m).sum(), m.sum()
 
 
-def _ce_rowwise(logits, labels, loss_mask):
+def _biased32(logits, bias):
+    """f32 view of ``logits + bias`` with the unfused path's rounding: the
+    bias is cast to the logits dtype, added, and the sum rounded back to
+    that dtype (TPU bf16 adds are f32 internally, so f32-add-then-round is
+    the same operation). Pure elementwise — fuses into consuming reduces."""
+    l32 = logits.astype(jnp.float32)
+    if bias is None:
+        return l32
+    b32 = bias.astype(logits.dtype).astype(jnp.float32)
+    return (l32 + b32).astype(logits.dtype).astype(jnp.float32)
+
+
+def _ce_rowwise(logits, labels, loss_mask, bias=None):
     """Per-row (logz, gold logit, mask) in f32; converts fuse into reduces."""
-    logits32 = logits.astype(jnp.float32)
+    logits32 = _biased32(logits, bias)
     logz = jax.nn.logsumexp(logits32, axis=-1)
     gold = jnp.take_along_axis(logits32, labels[..., None], axis=-1)[..., 0]
     return logz, gold, loss_mask.astype(jnp.float32)
@@ -487,20 +523,50 @@ def _masked_ce_sum_fwd(logits, labels, loss_mask):
 
 def _masked_ce_sum_bwd(res, ct):
     logits, labels, m, logz = res
-    dsum = ct[0]  # cotangent of the NLL sum; count output is non-diff here
+    dlogits = _ce_dlogits(logits, labels, m, logz, ct[0], None)
+    return dlogits, None, None
+
+
+def _ce_dlogits(logits, labels, m, logz, dsum, bias):
     # dlogits = dsum · m · (softmax(logits) − onehot(labels)), emitted in
     # the logits dtype. The onehot never materializes: the iota==label
     # compare fuses into the same elementwise pass as the exp.
     scale = (dsum * m)[..., None]
-    p = jnp.exp(logits.astype(jnp.float32) - logz[..., None])
+    p = jnp.exp(_biased32(logits, bias) - logz[..., None])
     one = jnp.equal(
         jax.lax.broadcasted_iota(jnp.int32, logits.shape, logits.ndim - 1),
         labels[..., None])
-    dlogits = ((p - one.astype(jnp.float32)) * scale).astype(logits.dtype)
-    return dlogits, None, None
+    return ((p - one.astype(jnp.float32)) * scale).astype(logits.dtype)
 
 
 _masked_ce_sum.defvjp(_masked_ce_sum_fwd, _masked_ce_sum_bwd)
+
+
+@jax.custom_vjp
+def _masked_ce_sum_b(logits, bias, labels, loss_mask):
+    logz, gold, m = _ce_rowwise(logits, labels, loss_mask, bias)
+    return ((logz - gold) * m).sum(), m.sum()
+
+
+def _masked_ce_sum_b_fwd(logits, bias, labels, loss_mask):
+    logz, gold, m = _ce_rowwise(logits, labels, loss_mask, bias)
+    return (((logz - gold) * m).sum(), m.sum()), (logits, bias, labels, m,
+                                                  logz)
+
+
+def _masked_ce_sum_b_bwd(res, ct):
+    logits, bias, labels, m, logz = res
+    dlogits = _ce_dlogits(logits, labels, m, logz, ct[0], bias)
+    # dbias: autodiff of the unfused add reduces the *rounded* dlogits in
+    # f32 — reduce the emitted dlogits, not the pre-round values, so the
+    # fold stays bit-identical. XLA fuses the row-reduce into the same
+    # pass that writes dlogits.
+    red = tuple(range(dlogits.ndim - 1))
+    dbias = dlogits.astype(jnp.float32).sum(axis=red).astype(bias.dtype)
+    return dlogits, dbias, None, None
+
+
+_masked_ce_sum_b.defvjp(_masked_ce_sum_b_fwd, _masked_ce_sum_b_bwd)
 
 
 def masked_cross_entropy(logits: jax.Array, labels: jax.Array,
@@ -649,14 +715,18 @@ def apply_realise(
     hiddens = dropout(hiddens, cfg.hidden_dropout_prob, deterministic,
                       site_rng(rng, 13))
     word = params["bert"]["embeddings"].get("word_embeddings", {}).get("embedding")
-    logits = apply_head(params["head"], cfg, hiddens, word)
+    logits_nb, hbias = apply_head_split(params["head"], cfg, hiddens, word)
+    # Biased logits materialize only where a consumer (eval argmax) keeps
+    # them live — the train step reads loss_sum/loss_count alone, so XLA
+    # DCEs this add and the loss reads the bias through the CE fold.
+    logits = logits_nb + hbias.astype(logits_nb.dtype)
 
     out: Dict[str, Any] = {"logits": logits, "state": new_state}
     if gates is not None:
         out["gates"] = gates
     if "tgt_idx" in batch:
-        ls, lc = masked_cross_entropy_sum(logits, batch["tgt_idx"],
-                                          batch["loss_masks"])
+        ls, lc = masked_cross_entropy_sum(logits_nb, batch["tgt_idx"],
+                                          batch["loss_masks"], bias=hbias)
         out["loss_sum"], out["loss_count"] = ls, lc
         out["loss"] = ls / jnp.maximum(lc, 1.0)
     return out
@@ -891,11 +961,12 @@ def apply_pretrain(
                      attention_mask=attention_mask,
                      deterministic=deterministic, rng=site_rng(rng, 2),
                      use_pallas=use_pallas)
-    logits = apply_head(params["head"], cfg, seq, None)
-    out = {"logits": logits, "state": new_state}
+    logits_nb, hbias = apply_head_split(params["head"], cfg, seq, None)
+    out = {"logits": logits_nb + hbias.astype(logits_nb.dtype),
+           "state": new_state}
     if "tgt_idx" in batch:
-        ls, lc = masked_cross_entropy_sum(logits, batch["tgt_idx"],
-                                          batch["loss_masks"])
+        ls, lc = masked_cross_entropy_sum(logits_nb, batch["tgt_idx"],
+                                          batch["loss_masks"], bias=hbias)
         out["loss_sum"], out["loss_count"] = ls, lc
         out["loss"] = ls / jnp.maximum(lc, 1.0)
     return out

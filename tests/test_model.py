@@ -365,6 +365,31 @@ def test_unique_row_tables_reconstruct_and_gate():
     assert st["pho_uniq_idx"].shape[0] % 128 == 0
 
 
+def test_masked_ce_bias_fold_matches_unfused():
+    """CE with bias= folded must equal CE(logits + bias) exactly in value
+    and dlogits; dbias may be (strictly) more precise than the unfused
+    path's bf16-rounded broadcast-add cotangent."""
+    from realise_tpu.models.realise import masked_cross_entropy_sum
+
+    rng = np.random.RandomState(1)
+    for dt in (jnp.bfloat16, jnp.float32):
+        ln = jnp.asarray(rng.randn(41, 67) * 2, dtype=dt)
+        bias = jnp.asarray(rng.randn(67) * 0.5, jnp.float32)
+        labels = jnp.asarray(rng.randint(0, 67, 41))
+        m = jnp.asarray(rng.randint(0, 2, 41))
+        unfused = lambda a: masked_cross_entropy_sum(
+            a[0] + a[1].astype(a[0].dtype), labels, m)[0]
+        fused = lambda a: masked_cross_entropy_sum(
+            a[0], labels, m, bias=a[1])[0]
+        su, gu = jax.value_and_grad(unfused)((ln, bias))
+        sf, gf = jax.value_and_grad(fused)((ln, bias))
+        assert float(su) == float(sf)
+        np.testing.assert_array_equal(np.asarray(gu[0], np.float32),
+                                      np.asarray(gf[0], np.float32))
+        np.testing.assert_allclose(np.asarray(gu[1]), np.asarray(gf[1]),
+                                   rtol=5e-3, atol=1e-5)
+
+
 def test_masked_ce_sum_custom_vjp_matches_autodiff():
     """The fused CE VJP (bf16 dlogits, no materialized onehot) must match
     plain autodiff of the logsumexp formulation in value and gradient."""
