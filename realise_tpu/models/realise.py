@@ -482,9 +482,12 @@ def masked_cross_entropy_sum(
 
     ``bias``: optional f32 (V,) head bias, folded into the reductions with
     the EXACT rounding of the unfused path (cast to the logits dtype, f32
-    add, round back — bit-identical to ``logits + bias.astype(dtype)``)
-    so the training step never materializes the biased (B·S, V) tensor;
-    its gradient (the row-sum of dlogits) fuses into the dlogits pass."""
+    add, round back — loss value and dlogits bit-identical to
+    ``logits + bias.astype(dtype)``) so the training step never
+    materializes the biased (B·S, V) tensor. Its gradient (the row-sum of
+    dlogits) fuses into the dlogits pass and accumulates in f32 — strictly
+    more precise than the unfused path's bf16-accumulated reduce of the
+    bf16 cotangent, hence not bit-identical to it."""
     if bias is None:
         return _masked_ce_sum(logits, labels, loss_mask)
     return _masked_ce_sum_b(logits, bias, labels, loss_mask)
@@ -557,10 +560,13 @@ def _masked_ce_sum_b_fwd(logits, bias, labels, loss_mask):
 def _masked_ce_sum_b_bwd(res, ct):
     logits, bias, labels, m, logz = res
     dlogits = _ce_dlogits(logits, labels, m, logz, ct[0], bias)
-    # dbias: autodiff of the unfused add reduces the *rounded* dlogits in
-    # f32 — reduce the emitted dlogits, not the pre-round values, so the
-    # fold stays bit-identical. XLA fuses the row-reduce into the same
-    # pass that writes dlogits.
+    # dbias: the row-reduce of the emitted (rounded) dlogits — the same
+    # elementwise values autodiff of the unfused broadcast-add would reduce,
+    # but accumulated in f32. The unfused path accumulates the bf16
+    # cotangent in bf16, so dbias is NOT bit-identical to it: it is
+    # strictly more precise (value and dlogits ARE bit-identical; see
+    # test_masked_ce_bias_fold_matches_unfused). XLA fuses the row-reduce
+    # into the same pass that writes dlogits.
     red = tuple(range(dlogits.ndim - 1))
     dbias = dlogits.astype(jnp.float32).sum(axis=red).astype(bias.dtype)
     return dlogits, dbias, None, None
@@ -646,8 +652,11 @@ def apply_realise(
     # The conv stream factorizes independently of the pho tables — it only
     # needs the glyph table (pho1-res and --with_pho-off ablations have no
     # pho_vocab_idx but gain the same ~35% conv-FLOP cut at bench batch).
-    res_factorized = (cfg.with_res
-                      and b_tokens > state["char_images"].shape[0])
+    # Gate on the row count the factorized conv actually runs over: the
+    # deduplicated glyph table when installed (G << V), else the full
+    # per-vocab table — so batches with G < b_tokens <= V still factorize.
+    res_factorized = (cfg.with_res and b_tokens > state.get(
+        "res_uniq_images", state["char_images"]).shape[0])
     # Unfactorized conv stash is ~1 GB per 32768 token slots — fits v5e
     # HBM at the bench batch (B=256, S=128) once the GRU is handled, and
     # storing it beats remating by ~7%; past that it must remat. The

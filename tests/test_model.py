@@ -367,8 +367,12 @@ def test_unique_row_tables_reconstruct_and_gate():
 
 def test_masked_ce_bias_fold_matches_unfused():
     """CE with bias= folded must equal CE(logits + bias) exactly in value
-    and dlogits; dbias may be (strictly) more precise than the unfused
-    path's bf16-rounded broadcast-add cotangent."""
+    and dlogits. dbias is NOT expected to match the unfused path bitwise:
+    both reduce the same (bit-identical) emitted dlogits over rows, but the
+    fused VJP accumulates in f32 while the unfused broadcast-add autodiff
+    accumulates the bf16 cotangent in bf16 — so each is compared against an
+    f64 oracle of that row-reduce, with the fused path held to a far
+    tighter tolerance (it is strictly more precise)."""
     from realise_tpu.models.realise import masked_cross_entropy_sum
 
     rng = np.random.RandomState(1)
@@ -386,8 +390,16 @@ def test_masked_ce_bias_fold_matches_unfused():
         assert float(su) == float(sf)
         np.testing.assert_array_equal(np.asarray(gu[0], np.float32),
                                       np.asarray(gf[0], np.float32))
-        np.testing.assert_allclose(np.asarray(gu[1]), np.asarray(gf[1]),
-                                   rtol=5e-3, atol=1e-5)
+        # f64 oracle: exact row-sum of the (identical) emitted dlogits.
+        oracle = np.asarray(gf[0], np.float64).sum(axis=0)
+        scale = np.abs(oracle).max() + 1e-12
+        # Fused dbias: f32 accumulation over 41 rows — near-exact.
+        np.testing.assert_allclose(np.asarray(gf[1], np.float64), oracle,
+                                   rtol=1e-5, atol=1e-6 * scale)
+        # Unfused dbias: bf16 accumulation for the bf16 case — loose.
+        tol = 3e-2 if dt == jnp.bfloat16 else 1e-5
+        np.testing.assert_allclose(np.asarray(gu[1], np.float64), oracle,
+                                   rtol=tol, atol=tol * scale)
 
 
 def test_masked_ce_sum_custom_vjp_matches_autodiff():

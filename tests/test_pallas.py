@@ -364,3 +364,40 @@ def test_attention_train_bf16_forward_and_grad():
     assert dx.dtype == jnp.bfloat16
     assert db.dtype == jnp.bfloat16  # the primal's dtype, exactly
     assert np.isfinite(np.asarray(dx, np.float32)).all()
+
+
+def test_attention_train_save_qkv_bit_identical(monkeypatch):
+    """REALISE_TPU_ATTN_SAVE_QKV=1 (stream q/k/v out of the forward and read
+    them in the backward instead of recomputing the input projections) must
+    be bit-identical to the default recompute path — forward output, input
+    grad, every weight/bias/LN grad, and the bias cotangent — with dropout
+    both off and on (same counter-based mask streams either way)."""
+    from realise_tpu.ops.bert import init_bert_layer
+    from realise_tpu.ops.pallas.bert_block_train import attention_block_train
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 16)).astype(
+        jnp.bfloat16)
+    mask = jnp.ones((3, 8), jnp.int32).at[1, 5:].set(0)
+    bias = attention_bias_from_mask(mask, jnp.bfloat16)
+    seed = jnp.array([7], jnp.int32)
+
+    def run(p_rate, h_rate):
+        def loss(x, p, b):
+            return jnp.sum(attention_block_train(
+                x, p, b, seed, cfg.num_attention_heads, cfg.layer_norm_eps,
+                p_rate, h_rate, True).astype(jnp.float32))
+        y = attention_block_train(x, layer["attention"], bias, seed,
+                                  cfg.num_attention_heads,
+                                  cfg.layer_norm_eps, p_rate, h_rate, True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(x, layer["attention"],
+                                                  bias)
+        return jax.tree.map(lambda a: np.asarray(a, np.float32), (y, grads))
+
+    for rates in ((0.0, 0.0), (0.25, 0.1)):
+        monkeypatch.setenv("REALISE_TPU_ATTN_SAVE_QKV", "0")
+        base = run(*rates)
+        monkeypatch.setenv("REALISE_TPU_ATTN_SAVE_QKV", "1")
+        saved = run(*rates)
+        jax.tree.map(np.testing.assert_array_equal, base, saved)
