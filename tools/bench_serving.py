@@ -41,7 +41,7 @@ def _log(msg):
     print(f"[bench_serving] {msg}", file=sys.stderr, flush=True)
 
 
-def build_synthetic_ckpt(tiny: bool) -> str:
+def build_synthetic_ckpt(tiny: bool) -> "tuple[str, str]":
     """Init a fresh full-size (or tiny) arch3 model and save it as a real
     checkpoint directory, so the bench exercises the identical load path a
     production deployment uses."""
@@ -77,7 +77,11 @@ def build_synthetic_ckpt(tiny: bool) -> str:
                                      pho_tables=feat.pho2_tables())
     out = tempfile.mkdtemp(prefix="serving_bench_ckpt_")
     save_checkpoint(out, 0, params, state, cfg=cfg)
-    return out
+    # The Corrector's synthetic_vocab=True path rebuilds the DEFAULT-size
+    # synthetic vocab, which differs from the full-size (21128) one built
+    # here — persist the actual vocab and hand it over explicitly.
+    vocab_path = tokenizer.save_pretrained(out)
+    return out, vocab_path
 
 
 def _post(url: str, sentences) -> dict:
@@ -118,7 +122,7 @@ def main():
     ckpt_dir = args.ckpt_dir
     if ckpt_dir is None:
         _log("building synthetic checkpoint")
-        ckpt_dir = build_synthetic_ckpt(tiny=args.smoke)
+        ckpt_dir, args.vocab_path = build_synthetic_ckpt(tiny=args.smoke)
     _log("loading Corrector (tables + compile)")
     corrector = Corrector(ckpt_dir, vocab_path=args.vocab_path,
                           batch_size=args.batch_size,
