@@ -387,7 +387,7 @@ def main():
 def _stream_rows(state):
     """Actual factorized row counts for honest MFU accounting (0 → V)."""
     pho = state.get("pho_uniq_idx")
-    res = state.get("res_uniq_images")
+    res = state.get("res_uniq_images_nhwc", state.get("res_uniq_images"))
     return ((pho.shape[0] if pho is not None else 0),
             (res.shape[0] if res is not None else 0))
 

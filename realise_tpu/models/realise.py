@@ -205,9 +205,24 @@ def install_glyphs(state: Dict, glyphs) -> Dict:
     if pad:
         uniq = np.concatenate(
             [uniq, np.zeros((pad,) + uniq.shape[1:], uniq.dtype)], axis=0)
-    state["res_uniq_images"] = jnp.asarray(uniq)
+    # Stored pre-transposed to NHWC: the conv stream's native layout. Doing
+    # the (G,F,32,32)->(G,32,32,F) transpose inside the jitted step instead
+    # costs a measured ~4 ms/step of pure HBM shuffling at G=21128/f32
+    # (tools/probe_gather.py). NCHW tables from older checkpoints still
+    # restore — _factorized_conv transposes those on the fly.
+    state["res_uniq_images_nhwc"] = jnp.asarray(
+        np.ascontiguousarray(np.transpose(uniq, (0, 2, 3, 1))))
     state["res_uniq_inverse"] = jnp.asarray(inverse, jnp.int32)
     return state
+
+
+def res_conv_rows(state: Dict) -> int:
+    """Number of rows the factorized conv stream runs over: the deduplicated
+    glyph table when installed (either layout), else the full vocab table."""
+    for k in ("res_uniq_images_nhwc", "res_uniq_images"):
+        if k in state:
+            return state[k].shape[0]
+    return state["char_images"].shape[0]
 
 
 def _install_constants(state: Dict, cfg: RealiseConfig, glyphs, pho_tables):
@@ -337,15 +352,19 @@ def _factorized_conv(resnet_params, state, src_idx, train,
     computes the identical function (and, through the gather transpose,
     identical gradients) to the per-token conv. Returns ((B, S, H)
     features, new BN state)."""
-    if "res_uniq_images" in state:
-        images_v = state["res_uniq_images"]
+    if "res_uniq_images_nhwc" in state:
+        images = state["res_uniq_images_nhwc"].astype(dtype)
+        ids = jnp.take(state["res_uniq_inverse"], src_idx, axis=0)
+    elif "res_uniq_images" in state:  # NCHW table from an older checkpoint
+        images = jnp.transpose(
+            state["res_uniq_images"], (0, 2, 3, 1)).astype(dtype)
         ids = jnp.take(state["res_uniq_inverse"], src_idx, axis=0)
     else:  # restored state predating the dedup tables
-        images_v = state["char_images"]
+        images = jnp.transpose(
+            state["char_images"], (0, 2, 3, 1)).astype(dtype)
         ids = src_idx
-    g = images_v.shape[0]
+    g = images.shape[0]
     counts = jnp.zeros((g,), jnp.float32).at[ids.reshape(-1)].add(1.0)
-    images = jnp.transpose(images_v, (0, 2, 3, 1)).astype(dtype)
     feats_g, new_bn = char_resnet(
         resnet_params, state["resnet"], images, train=train,
         variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
@@ -655,8 +674,7 @@ def apply_realise(
     # Gate on the row count the factorized conv actually runs over: the
     # deduplicated glyph table when installed (G << V), else the full
     # per-vocab table — so batches with G < b_tokens <= V still factorize.
-    res_factorized = (cfg.with_res and b_tokens > state.get(
-        "res_uniq_images", state["char_images"]).shape[0])
+    res_factorized = cfg.with_res and b_tokens > res_conv_rows(state)
     # Unfactorized conv stash is ~1 GB per 32768 token slots — fits v5e
     # HBM at the bench batch (B=256, S=128) once the GRU is handled, and
     # storing it beats remating by ~7%; past that it must remat. The

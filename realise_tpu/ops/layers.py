@@ -97,15 +97,19 @@ def embed(params, ids: jax.Array, dtype=None) -> jax.Array:
 # ------------------------------------------- gather with matmul transpose
 _GATHER_BWD_CHUNK = 4096
 
-# Backward algorithm for table_gather. 'onehot' (default): chunked one-hot
-# matmul-transpose — 2·N·V·H MXU FLOPs but compiles in seconds everywhere.
-# 'sort_segment': argsort the ids and scatter-add with sorted indices —
-# O(N·H) bandwidth instead of a TFLOP of matmul, IF the backend's sorted
-# scatter emitter compiles acceptably (XLA:TPU's unsorted scatter at
-# (V≈21k, H) took minutes, the reason 'onehot' exists; the sorted variant
-# is the candidate to re-measure per toolchain — flip via
-# REALISE_TPU_GATHER_BWD=sort_segment and run bench.py).
-TABLE_GATHER_BWD = os.environ.get("REALISE_TPU_GATHER_BWD", "onehot")
+# Backward algorithm for table_gather. 'auto' (default) picks per table:
+#  * 'onehot' — chunked one-hot matmul-transpose, 2·N·V·H MXU FLOPs. Wins
+#    for SMALL tables (the FLOPs are trivial and it skips the sort), e.g.
+#    the factorized-GRU gather at U≈1.3k: 0.65 ms vs sort's 2.3 ms.
+#  * 'sort_segment' — argsort the ids + segment_sum with sorted indices,
+#    O(N·H log N) bandwidth instead of MXU TFLOPs. Wins for LARGE tables:
+#    at (N=32768, V=21128, H=768) it measures 2.30 ms vs onehot's 6.48 ms
+#    on v5e (tools/probe_gather.py) — the glyph-stream gather.
+# The crossover on v5e sits near V≈8k (onehot ms ≈ 2NVH/100TF; sort ≈
+# const 2.3 ms from permuting the (N,H) cotangent). Env forces one:
+# REALISE_TPU_GATHER_BWD=onehot|sort_segment|auto.
+TABLE_GATHER_BWD = os.environ.get("REALISE_TPU_GATHER_BWD", "auto")
+_GATHER_AUTO_SORT_MIN_V = 8192
 
 
 def table_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
@@ -120,9 +124,12 @@ def table_gather(table: jax.Array, ids: jax.Array) -> jax.Array:
     streams (models/realise.py); cotangents never flow to ``ids``.
     See ``TABLE_GATHER_BWD`` for the bandwidth-bound alternative.
     """
+    algo = TABLE_GATHER_BWD
+    if algo == "auto":
+        algo = ("sort_segment" if table.shape[0] >= _GATHER_AUTO_SORT_MIN_V
+                else "onehot")
     return _table_gather(table, ids,
-                         (table.shape[0], jnp.dtype(table.dtype).name,
-                          TABLE_GATHER_BWD))
+                         (table.shape[0], jnp.dtype(table.dtype).name, algo))
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))

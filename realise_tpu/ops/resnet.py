@@ -42,8 +42,21 @@ def conv2d(params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array
     Torch's ``padding=p`` pads (p, p) on both spatial dims; XLA's "SAME"
     pads asymmetrically for even strides ((0,1) at stride 2), which shifts
     window alignment — checkpoint parity requires the torch convention.
+
+    Tiny-spatial inputs take an EXACT matmul lowering instead
+    (:func:`_conv3x3_tiny`): at the tail of the 32→1 stride-2 pyramid a
+    padded 3×3 conv spends most of its MACs on structural padding zeros
+    (8/9 at 1×1, 5/9 at 2×2) and leaves the MXU under-tiled; re-lowering
+    to a dense tap matmul computes the identical function — and identical
+    gradients, including the zero cotangent on taps that only ever see
+    padding — in a single well-shaped (N, k·C)×(k·C, k·C') contraction.
     """
     kernel = params["kernel"].astype(x.dtype)
+    if (kernel.shape[0] == kernel.shape[1] == 3 and padding == 1
+            and x.shape[1] == x.shape[2] and x.shape[1] <= 2):
+        y = _conv3x3_tiny(kernel, x, stride)
+        if y is not None:
+            return y
     pad = ((padding, padding), (padding, padding))
     return jax.lax.conv_general_dilated(
         x, kernel,
@@ -52,6 +65,39 @@ def conv2d(params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
     )
+
+
+def _conv3x3_tiny(kernel: jax.Array, x: jax.Array, stride: int):
+    """Exact matmul form of a pad-1 3×3 conv on 1×1 / 2×2 inputs (or None).
+
+    y[n,i,j] = Σ_{u,v ∈ valid} x[n,u,v] · K[u−i·s+1, v−j·s+1]: with all
+    spatial positions in play the conv IS a dense linear map from the
+    (sp²·C) input vector to the (out²·C') output vector, whose matrix is a
+    gather of kernel taps. MAC counts vs the padded conv: 1×1/s1 1/9,
+    2×2/s2 4/9, 2×2/s1 16/36 — and the contraction dim k·C tiles the MXU
+    far better than a 9-tap window over a 2-pixel image.
+    """
+    n, sp, _, c = x.shape
+    co = kernel.shape[-1]
+    if sp == 1:  # either stride: the one output window centers on the pixel
+        w = kernel[1, 1]  # only the center tap sees the input
+    elif sp == 2 and stride == 2:
+        w = kernel[1:3, 1:3].reshape(2 * 2 * c, co)  # output pixel (0,0)
+    elif sp == 2 and stride == 1:
+        # (u,v,c) → (i,j,c') dense tap matrix: every in/out pair is within
+        # the 3×3 window, so all 16 pairs are live.
+        w = jnp.stack([
+            jnp.stack([kernel[u - i + 1, v - j + 1]
+                       for i in (0, 1) for j in (0, 1)], axis=1)
+            for u in (0, 1) for v in (0, 1)], axis=0)  # (4, C, 4, C')
+        w = w.reshape(2 * 2 * c, 2 * 2 * co)
+    else:
+        return None
+    out_sp = 1 if stride == 2 or sp == 1 else 2
+    y = jax.lax.dot_general(
+        x.reshape(n, -1), w.reshape(x.size // n, -1),
+        (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
+    return y.reshape(n, out_sp, out_sp, co)
 
 
 # ------------------------------------------------------------- batch norm

@@ -75,14 +75,75 @@ def save_checkpoint(
     return ckpt_dir
 
 
+def _saved_state_keys(path: str) -> Optional[set]:
+    """Top-level keys under 'state' in the on-disk orbax tree (from the
+    checkpoint's _METADATA JSON); None if the layout can't be read."""
+    import ast
+
+    try:
+        with open(os.path.join(path, "_METADATA")) as f:
+            md = json.load(f)
+        keys = set()
+        for k in md.get("tree_metadata", {}):
+            t = ast.literal_eval(k)
+            if isinstance(t, tuple) and len(t) > 1 and t[0] == "state":
+                keys.add(t[1])
+        return keys
+    except Exception:
+        return None
+
+
+# Glyph-table layout generations (models/realise.py install_glyphs):
+# round ≤3 checkpoints store the dedup table NCHW under 'res_uniq_images';
+# newer states pre-transpose to NHWC under 'res_uniq_images_nhwc'. Restores
+# reconcile the template to the on-disk layout, then _modernize converts the
+# restored state to the current one (an exact transpose) so resumed runs
+# don't pay the per-step NCHW→NHWC shuffle.
+def _reconcile_glyph_layout(path: str, template):
+    if not (isinstance(template, dict) and isinstance(
+            template.get("state"), dict)):
+        return template
+    saved = _saved_state_keys(path)
+    if saved is None:
+        return template
+    st = dict(template["state"])
+    changed = False
+    if ("res_uniq_images" in saved and "res_uniq_images" not in st
+            and "res_uniq_images_nhwc" in st):
+        st["res_uniq_images"] = st.pop(
+            "res_uniq_images_nhwc").transpose(0, 3, 1, 2)
+        changed = True
+    if ("res_uniq_images_nhwc" in saved
+            and "res_uniq_images_nhwc" not in st and "res_uniq_images" in st):
+        st["res_uniq_images_nhwc"] = st.pop(
+            "res_uniq_images").transpose(0, 2, 3, 1)
+        changed = True
+    return {**template, "state": st} if changed else template
+
+
+def _modernize_state(restored):
+    if not (isinstance(restored, dict) and isinstance(
+            restored.get("state"), dict)):
+        return restored
+    st = restored["state"]
+    if "res_uniq_images" in st and "res_uniq_images_nhwc" not in st:
+        st = dict(st)
+        st["res_uniq_images_nhwc"] = st.pop(
+            "res_uniq_images").transpose(0, 2, 3, 1)
+        restored = {**restored, "state": st}
+    return restored
+
+
 def load_checkpoint(ckpt_dir: str, template=None) -> Dict[str, Any]:
     """Restore a checkpoint dict. ``template``: optional pytree of like-shaped
-    arrays (for sharded restore); without it arrays restore as numpy."""
+    arrays (for sharded restore); without it arrays restore as numpy.
+    Handles glyph-table layout generations — see _reconcile_glyph_layout."""
     path = os.path.join(os.path.abspath(ckpt_dir), "ckpt")
     with ocp.PyTreeCheckpointer() as ckptr:
         if template is not None:
-            return ckptr.restore(path, item=template)
-        return ckptr.restore(path)
+            template = _reconcile_glyph_layout(path, template)
+            return _modernize_state(ckptr.restore(path, item=template))
+        return _modernize_state(ckptr.restore(path))
 
 
 def load_config(ckpt_dir: str) -> RealiseConfig:

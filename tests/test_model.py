@@ -344,14 +344,15 @@ def test_unique_row_tables_reconstruct_and_gate():
     assign = rng.randint(0, 64, size=512)
     glyphs = base[assign]
     state = install_glyphs({}, glyphs)
-    assert state["res_uniq_images"].shape[0] == 128  # 64 padded to 128
-    rebuilt = np.asarray(state["res_uniq_images"])[
+    assert state["res_uniq_images_nhwc"].shape[0] == 128  # 64 padded to 128
+    # Table is stored pre-transposed NHWC; undo to compare with the input.
+    rebuilt = np.asarray(state["res_uniq_images_nhwc"]).transpose(0, 3, 1, 2)[
         np.asarray(state["res_uniq_inverse"])]
     np.testing.assert_array_equal(rebuilt, glyphs)
 
     # >75% unique rows: keep the plain per-vocab path, no duplicate tensor.
     state2 = install_glyphs({}, rng.randn(64, 2, 8, 8).astype(np.float32))
-    assert "res_uniq_images" not in state2
+    assert "res_uniq_images_nhwc" not in state2
 
     # Pinyin tables: same reconstruction property (dedup always installed).
     idx = rng.randint(0, 30, size=(512, 6)).astype(np.int32)

@@ -90,11 +90,11 @@ def main():
     ffn_flops = bs * 4 * s * h * cfg.intermediate_size
     useful = 3 * layers * (attn_flops + ffn_flops)
 
-    def make_fb(cfg_v):
+    def make_fb(cfg_v, use_pallas=True):
         def enc_fb(p, x, bias, rng, dy):
             def fwd(p, x):
                 return bert_encoder(p, x, bias, cfg_v, deterministic=False,
-                                    rng=rng, use_pallas=True)
+                                    rng=rng, use_pallas=use_pallas)
             y, vjp = jax.vjp(fwd, p, x)
             return vjp(dy)
         return jax.jit(enc_fb, compiler_options=copts)
@@ -103,6 +103,7 @@ def main():
     for variant in args.variants.split(","):
         env = {}
         cfg_v = cfg
+        use_pallas = True
         if variant == "unroll":
             env["REALISE_TPU_SCAN_UNROLL"] = str(layers)
         elif variant == "nodrop":
@@ -111,11 +112,18 @@ def main():
                 hidden_dropout_prob=0.0)
         elif variant == "saveqkv":
             env["REALISE_TPU_ATTN_SAVE_QKV"] = "1"
+        elif variant == "jnp":
+            use_pallas = False
+        elif variant == "jnp_nodrop":
+            use_pallas = False
+            cfg_v = dataclasses.replace(
+                cfg, attention_probs_dropout_prob=0.0,
+                hidden_dropout_prob=0.0)
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
             _log(f"compiling variant {variant!r}")
-            f = make_fb(cfg_v)
+            f = make_fb(cfg_v, use_pallas)
             sec = time_fn(lambda: f(enc, x, bias, rng, dy), args.iters)
         finally:
             for k, v in old.items():

@@ -18,6 +18,7 @@ numbers as lower bounds and the residual as an upper bound on glue.
 
 Usage: python tools/step_breakdown.py [--batch_size 256] [--iters 10]
            [--json out.json]
+       python tools/step_breakdown.py --infer   # forward/serving attribution
 """
 
 from __future__ import annotations
@@ -72,12 +73,185 @@ def conv_flops_per_glyph(cfg) -> float:
     return float(conv)
 
 
+def infer_main(args):
+    """Forward-path attribution: where do the serving fast path's ms go?
+
+    Times the FULL table-path infer step and the training-shaped
+    full_forward, then the pieces: the 19-layer encoder scan (fwd only, one
+    program), the (B·S,H)×(H,V) head matmul + argmax, the (V,H) table
+    gathers + gate fusion, and — for full_forward — the live conv/GRU
+    streams. Residual = full minus component sum (embeddings, LN, glue)."""
+    import faulthandler
+    faulthandler.dump_traceback_later(600, repeat=True, file=sys.stderr)
+
+    import bench
+    from realise_tpu.models.realise import (
+        _factorized_conv,
+        _factorized_gru,
+        _vocab_pho_from_state,
+        res_conv_rows,
+    )
+    from realise_tpu.ops.bert import attention_bias_from_mask, bert_encoder
+    from realise_tpu.ops.fusion import gate_fusion
+    from realise_tpu.ops.pallas import tpu_compiler_options
+    from realise_tpu.utils.cache import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    bs = args.batch_size
+    _log("building model via bench.build (infer tables, no trainer)")
+    (infer_step, full_fwd, _, (params, state, infer_batch, batch), bs, cfg,
+     _) = bench.build(tiny=False, batch_size=bs, train=False,
+                      use_pallas=True, infer=True)
+    peak, kind = bench.peak_flops()
+    _log(f"device {kind!r}, peak {peak / 1e12:.0f} TF/s")
+    copts = tpu_compiler_options()
+    jit = lambda f, **kw: jax.jit(f, compiler_options=copts, **kw)
+
+    s, h, isz = cfg.max_seq_length, cfg.hidden_size, cfg.intermediate_size
+    v = cfg.vocab_size
+    dtype = jnp.dtype(cfg.dtype)
+    layers = cfg.num_hidden_layers + cfg.pho_num_layers + cfg.out_num_layers
+    attn_flops = bs * (8 * s * h * h + 4 * s * s * h)
+    ffn_flops = bs * 4 * s * h * isz
+
+    rows = []
+
+    def add(name, sec, useful_flops, note=""):
+        _log(f"  {name}: {sec * 1e3:.3f} ms")
+        rows.append({
+            "component": name, "ms": round(sec * 1e3, 3),
+            "useful_gflop": round(useful_flops / 1e9, 1),
+            "pct_peak": round(100 * useful_flops / sec / peak, 1)
+            if sec > 0 and useful_flops else None,
+            "note": note,
+        })
+
+    # Full programs first (HBM headroom, same reason as the train mode).
+    _log("timing FULL infer step (table fast path)")
+    sec_inf = time_fn(lambda: infer_step(params, state, infer_batch),
+                      args.iters)
+    fast_f = bs * bench.analytic_flops_per_sentence(cfg, fast_path=True,
+                                                    train=False)
+    add("FULL infer step (table fast path)", sec_inf, fast_f,
+        f"{bs / sec_inf:.1f} sent/s; MFU "
+        f"{100 * fast_f / sec_inf / peak:.1f}%")
+
+    _log("timing FULL full_forward (live streams)")
+    sec_ff = time_fn(lambda: full_fwd(params, state, infer_batch), args.iters)
+    vocab_pho = _vocab_pho_from_state(state)
+    u_rows = vocab_pho[0].shape[0] if vocab_pho is not None else 0
+    g_rows = res_conv_rows(state)
+    ff_f = bs * bench.analytic_flops_per_sentence(
+        cfg, fast_path=False, train=False, batch_size=bs,
+        pho_rows=u_rows, res_rows=g_rows)
+    add("FULL full_forward (live GRU+conv streams)", sec_ff, ff_f,
+        f"{bs / sec_ff:.1f} sent/s; MFU {100 * ff_f / sec_ff / peak:.1f}%")
+
+    # ------------------------------------------- 19-layer encoder fwd scan
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (bs, s, h), dtype)
+    bias = attention_bias_from_mask(batch["masks"], dtype)
+    stacked = jax.tree.map(
+        lambda a, b, c: jnp.concatenate([a, b, c], axis=0),
+        params["bert"]["encoder"], params["pho"]["model"]["encoder"],
+        params["output_block"]["encoder"])
+
+    def enc_f(p, x, bias):
+        return bert_encoder(p, x, bias, cfg, deterministic=True,
+                            rng=None, use_pallas=True)
+
+    _log("compiling whole-encoder (19-layer scan) fwd")
+    f = jit(enc_f)
+    sec_enc = time_fn(lambda: f(stacked, x, bias), args.iters)
+    add("19-layer encoder scan fwd (one program)", sec_enc,
+        layers * (attn_flops + ffn_flops),
+        f"{sec_enc * 1e3 / layers:.2f} ms/layer")
+
+    # ----------------------------------------------------- head + argmax
+    word = params["bert"]["embeddings"]["word_embeddings"]["embedding"]
+    hbias = params["head"]["bias"]
+
+    def head_f(word, hbias, hid):
+        logits = jnp.matmul(hid, word.astype(hid.dtype).T,
+                            preferred_element_type=hid.dtype)
+        return (logits + hbias.astype(logits.dtype)).argmax(-1)
+
+    _log("compiling head+argmax fwd")
+    f = jit(head_f)
+    sec = time_fn(lambda: f(word, hbias, x), args.iters)
+    add("tied head matmul + argmax", sec, bs * 2 * s * h * v,
+        "(B*S,H)x(H,V) bf16 + bias + argmax")
+
+    # -------------------------------------- table gathers + gate fusion
+    src_idx = batch["src_idx"]
+    tbl = jax.random.normal(key, (v, h), dtype)
+    fusion_p = params["fusion"]
+
+    def gathers_fuse(tbl, fusion_p, src_idx, sem, mask):
+        pho = jnp.take(tbl, src_idx, axis=0)
+        res = jnp.take(tbl, src_idx, axis=0)
+        return gate_fusion(fusion_p, [sem, pho, res], mask)
+
+    _log("compiling table gathers + gate fusion")
+    f = jit(gathers_fuse)
+    sec = time_fn(lambda: f(tbl, fusion_p, src_idx, x, batch["masks"]),
+                  args.iters)
+    add("2x (V,H) table gather + gate fusion", sec, 0,
+        "serving fast path's replacement for the live streams")
+
+    # ------------------------------- live streams (full_forward only)
+    if cfg.with_res:
+        def conv_f(rp, st, src_idx):
+            feats, _ = _factorized_conv(rp, st, src_idx, False, cfg, dtype)
+            return feats
+
+        _log("compiling conv stream fwd")
+        f = jit(conv_f)
+        sec = time_fn(lambda: f(params["res"]["resnet"], state, src_idx),
+                      args.iters)
+        add("CharResNet conv stream fwd (live)", sec,
+            g_rows * conv_flops_per_glyph(cfg),
+            f"full_forward only; {g_rows} unique rows")
+
+    if vocab_pho is not None:
+        from realise_tpu.config import PHO2_VOCAB_SIZE
+
+        def gru_f(pp, vocab_pho, src_idx):
+            return _factorized_gru(pp, vocab_pho, src_idx, dtype)
+
+        _log("compiling GRU stream fwd")
+        f = jit(gru_f)
+        sec = time_fn(lambda: f(params["pho"], vocab_pho, src_idx),
+                      args.iters)
+        gru_step = 6 * h * h + 2 * PHO2_VOCAB_SIZE * 3 * h
+        add("pinyin GRU stream fwd (live)", sec,
+            u_rows * cfg.pho2_max_len * gru_step,
+            f"full_forward only; {u_rows} unique rows")
+
+    print(f"{'component':52s} {'ms':>8s} {'GF':>8s} {'%peak':>6s}")
+    for r in rows:
+        print(f"{r['component'][:52]:52s} {r['ms']:8.3f} "
+              f"{r['useful_gflop']:8.1f} "
+              f"{r['pct_peak'] if r['pct_peak'] is not None else '':>6} "
+              f" {r['note']}")
+    if args.json:
+        with open(args.json, "w") as fh:
+            json.dump({"device": kind, "batch_size": bs, "mode": "infer",
+                       "peak_tflops": peak / 1e12, "rows": rows}, fh,
+                      indent=1)
+        _log(f"wrote {args.json}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch_size", type=int, default=256)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--json", default=None, help="also write the rows here")
+    ap.add_argument("--infer", action="store_true",
+                    help="forward/serving attribution instead of training")
     args = ap.parse_args()
+    if args.infer:
+        return infer_main(args)
 
     # The remote-TPU tunnel can wedge a transfer/compile indefinitely (the
     # same pathology that hangs jax.profiler here); dump a stack every 10
@@ -92,6 +266,7 @@ def main():
         _factorized_gru,
         _vocab_pho_from_state,
         masked_cross_entropy_sum,
+        res_conv_rows,
     )
     from realise_tpu.ops.bert import attention_bias_from_mask
     from realise_tpu.ops.pallas import tpu_compiler_options
@@ -150,7 +325,7 @@ def main():
     # the measurement-only operand buffers).
     vocab_pho = _vocab_pho_from_state(ts.state)
     u_rows = vocab_pho[0].shape[0] if vocab_pho is not None else 0
-    g_rows = state.get("res_uniq_images", state["char_images"]).shape[0]
+    g_rows = res_conv_rows(state)
     step_arr = jnp.asarray(0, jnp.int32)
     lr = jnp.asarray(5e-5, jnp.float32)
     dbatch = trainer._put_batch(batch)
@@ -265,7 +440,7 @@ def main():
 
     # ------------------------------------------------------ glyph conv f+b
     src_idx = batch["src_idx"]
-    g_rows = state.get("res_uniq_images", state["char_images"]).shape[0]
+    g_rows = res_conv_rows(state)
     dyf = dy.astype(f32)
 
     def conv_loss(rp, st, src_idx, dyf):
