@@ -38,6 +38,7 @@ B·S=4096 glyph images every step even in eval (src/models.py:829-838).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Optional, Tuple
 
 from functools import partial
@@ -73,6 +74,14 @@ from realise_tpu.ops.layers import (
     table_gather,
 )
 from realise_tpu.ops.resnet import char_resnet, init_char_resnet
+
+# Batch-unique conv factorization master switch (see _factorized_conv and
+# training.trainer's host-side program selection): on by default;
+# REALISE_TPU_CONV_BATCH_UNIQUE=0 forces the always-full-table path —
+# useful for bisection and for hosts where the extra per-bucket train-step
+# compiles are the bottleneck.
+CONV_BATCH_UNIQUE = os.environ.get(
+    "REALISE_TPU_CONV_BATCH_UNIQUE", "1") != "0"
 
 
 # ==========================================================================
@@ -341,8 +350,38 @@ def _factorized_gru(pho_params, vocab_pho, src_idx, dtype):
     return table_gather(table, ids)
 
 
+def conv_slot_buckets(g: int, n_tokens: int):
+    """Candidate static slot counts for the batch-unique conv path.
+
+    Doubling buckets from 2048 up, plus the analytic worst case for
+    uniform ids — g·(1−e^(−n/g)) expected unique draws padded by 4·√g (≫
+    the ~0.3·√g std of that count; real text clusters far below it). The
+    runner picks the smallest bucket ≥ the batch's exact host-counted
+    unique rows, so real corpora (a few thousand distinct glyphs per
+    batch) compile a small-bucket program while synthetic uniform ids
+    still get an ~18% row cut. Buckets within 1024 of g are dropped —
+    not worth a second program."""
+    import math
+
+    worst = g * (1.0 - math.exp(-n_tokens / g)) + 4.0 * math.sqrt(g)
+    worst = min(n_tokens, g, int(worst))
+    worst += (-worst) % 128
+    # Profitability limit: the compact path must undercut BOTH existing
+    # paths — the g-row vocab table and the n-row per-token conv.
+    limit = min(g, n_tokens) - 1024
+    out = []
+    b = 2048
+    while b < worst:
+        if b <= limit:
+            out.append(b)
+        b *= 2
+    if worst <= limit and worst not in out:
+        out.append(worst)
+    return out
+
+
 def _factorized_conv(resnet_params, state, src_idx, train,
-                     cfg: RealiseConfig, dtype):
+                     cfg: RealiseConfig, dtype, batch_slots: int = 0):
     """Vocabulary-factorized CharResNet: convolve each UNIQUE glyph once and
     gather per token (G ≤ V < B·S conv rows; see install_glyphs — the ~60%
     of the vocab without a CJK glyph shares one zero-image row). BN batch
@@ -350,26 +389,63 @@ def _factorized_conv(resnet_params, state, src_idx, train,
     row with its occurrence count (ops/resnet.py batch_norm weights) —
     identical rows pool their counts, absent rows count 0 — so this
     computes the identical function (and, through the gather transpose,
-    identical gradients) to the per-token conv. Returns ((B, S, H)
-    features, new BN state)."""
+    identical gradients) to the per-token conv.
+
+    ``batch_slots`` > 0 additionally enables the BATCH-unique stage:
+    convolve only the glyph rows actually present in this call —
+    ``jnp.unique(ids, size=batch_slots)`` compacts the row set under a
+    static shape. THE CALLER MUST GUARANTEE the call's ids cover at most
+    ``batch_slots`` distinct rows (training.trainer counts them exactly on
+    the host and picks a compiled program; an in-graph lax.cond fallback
+    was tried and rejected — cond's VJP materializes the residual union of
+    both branches, +5 GB at B=256). Real text covers a few thousand
+    glyphs per batch, so this removes most of the conv stream's rows.
+    Returns ((B, S, H) features, new BN state)."""
     if "res_uniq_images_nhwc" in state:
-        images = state["res_uniq_images_nhwc"].astype(dtype)
+        base = state["res_uniq_images_nhwc"]
         ids = jnp.take(state["res_uniq_inverse"], src_idx, axis=0)
+        nchw = False
     elif "res_uniq_images" in state:  # NCHW table from an older checkpoint
-        images = jnp.transpose(
-            state["res_uniq_images"], (0, 2, 3, 1)).astype(dtype)
+        base = state["res_uniq_images"]
         ids = jnp.take(state["res_uniq_inverse"], src_idx, axis=0)
+        nchw = True
     else:  # restored state predating the dedup tables
-        images = jnp.transpose(
-            state["char_images"], (0, 2, 3, 1)).astype(dtype)
+        base = state["char_images"]
         ids = src_idx
-    g = images.shape[0]
-    counts = jnp.zeros((g,), jnp.float32).at[ids.reshape(-1)].add(1.0)
-    feats_g, new_bn = char_resnet(
-        resnet_params, state["resnet"], images, train=train,
-        variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
-        weights=counts if train else None)
-    return table_gather(feats_g, ids), new_bn
+        nchw = True
+    g = base.shape[0]
+    # Images travel FLATTENED (rows, H·W·F): a (rows, 32, 32, F) bf16
+    # array crossing a lax.cond boundary gets the default (8,128) tiling,
+    # padding the F-minor dim to 128 — a 42× (5.16 GB!) HBM copy at F=3.
+    # Flat rows tile exactly; the reshape/transpose to NHWC happens inside
+    # each branch where it fuses into the first conv.
+    flat_imgs = base.astype(dtype).reshape(g, -1)
+
+    def to_nhwc(rows2d):
+        imgs = rows2d.reshape((-1,) + base.shape[1:])
+        return jnp.transpose(imgs, (0, 2, 3, 1)) if nchw else imgs
+
+    def run_rows(rows2d, row_ids, weights):
+        feats, new_bn = char_resnet(
+            resnet_params, state["resnet"], to_nhwc(rows2d), train=train,
+            variant=cfg.res_encoder, hidden_size=cfg.hidden_size,
+            weights=weights if train else None)
+        return table_gather(feats, row_ids), new_bn
+
+    if not batch_slots or batch_slots >= g:
+        counts = jnp.zeros((g,), jnp.float32).at[ids.reshape(-1)].add(1.0)
+        return run_rows(flat_imgs, ids, counts)
+
+    # Sorted unique rows padded with fills; fill slots receive no tokens
+    # (inverse never points at them), so their count — hence their BN
+    # weight and gather traffic — is zero; the wasted conv rows are the
+    # price of the static shape.
+    uniq, inv = jnp.unique(ids.reshape(-1), size=batch_slots, fill_value=0,
+                           return_inverse=True)
+    counts = jnp.zeros((batch_slots,), jnp.float32).at[inv].add(1.0)
+    # Frozen glyphs: this gather needs no transpose-gradient.
+    return run_rows(jnp.take(flat_imgs, uniq, axis=0),
+                    inv.reshape(ids.shape), counts)
 
 
 def _pho2_stream(params, cfg: RealiseConfig, batch, attention_mask,
@@ -439,7 +515,7 @@ def _pho1_stream(params, cfg: RealiseConfig, batch, attention_mask,
 def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
                 res_table: Optional[jax.Array] = None,
                 apply_ln: bool = True, remat: bool = False,
-                per_vocab: bool = False):
+                per_vocab: bool = False, batch_slots: int = 0):
     """glyph gather → CharResNet → LN (src/models.py:829-838).
 
     ``apply_ln=False`` for merged-fusion models: SpellBertPho{1,2}Res have no
@@ -452,7 +528,8 @@ def _res_stream(params, state, cfg: RealiseConfig, src_idx, train,
         new_state = state["resnet"]
     elif per_vocab:
         feats, new_state = _factorized_conv(params["resnet"], state,
-                                            src_idx, train, cfg, dtype)
+                                            src_idx, train, cfg, dtype,
+                                            batch_slots=batch_slots)
     else:
         flat = src_idx.reshape(-1)
 
@@ -616,12 +693,17 @@ def apply_realise(
     use_pallas: bool = False,
     return_gates: bool = False,
     inference_tables: Optional[Dict[str, jax.Array]] = None,
+    conv_batch_slots: int = 0,
 ) -> Dict[str, Any]:
     """Forward pass. Returns {'logits', 'loss'?, 'state', 'gates'?}.
 
     ``batch``: src_idx (B,S), masks (B,S), loss_masks (B,S), tgt_idx (B,S)?,
     pho_idx (B,S,P) + pho_lens (B,S) for pho2, pho1_idx (B,S,3) for pho1 —
     all fixed-shape int32 arrays (AOT featurized).
+
+    ``conv_batch_slots``: static batch-unique conv row budget — see
+    _factorized_conv; the CALLER must guarantee the batch's distinct glyph
+    rows fit (training.trainer counts them on the host per batch).
     """
     attention_mask = batch["masks"]
     src_idx = batch["src_idx"]
@@ -674,7 +756,11 @@ def apply_realise(
     # Gate on the row count the factorized conv actually runs over: the
     # deduplicated glyph table when installed (G << V), else the full
     # per-vocab table — so batches with G < b_tokens <= V still factorize.
-    res_factorized = cfg.with_res and b_tokens > res_conv_rows(state)
+    # A batch-unique slot budget always routes through the factorized
+    # path: convolving the budget's rows beats per-token rows by
+    # construction (the runner only picks budgets below both).
+    res_factorized = cfg.with_res and (
+        b_tokens > res_conv_rows(state) or conv_batch_slots > 0)
     # Unfactorized conv stash is ~1 GB per 32768 token slots — fits v5e
     # HBM at the bench batch (B=256, S=128) once the GRU is handled, and
     # storing it beats remating by ~7%; past that it must remat. The
@@ -688,7 +774,8 @@ def apply_realise(
                                           train, res_table=tables.get("res"),
                                           apply_ln=not merged,
                                           remat=res_remat,
-                                          per_vocab=res_factorized)
+                                          per_vocab=res_factorized,
+                                          batch_slots=conv_batch_slots)
         new_state = dict(state)
         new_state["resnet"] = res_bn_state
 

@@ -72,10 +72,10 @@ def _conv3x3_tiny(kernel: jax.Array, x: jax.Array, stride: int):
 
     y[n,i,j] = Σ_{u,v ∈ valid} x[n,u,v] · K[u−i·s+1, v−j·s+1]: with all
     spatial positions in play the conv IS a dense linear map from the
-    (sp²·C) input vector to the (out²·C') output vector, whose matrix is a
-    gather of kernel taps. MAC counts vs the padded conv: 1×1/s1 1/9,
-    2×2/s2 4/9, 2×2/s1 16/36 — and the contraction dim k·C tiles the MXU
-    far better than a 9-tap window over a 2-pixel image.
+    (sp²·C) input vector to the C' output vector, whose matrix is a gather
+    of kernel taps. MAC counts vs the padded conv: 1×1 1/9, 2×2/s2 4/9 —
+    and the contraction dim k·C tiles the MXU far better than a 9-tap
+    window over a 2-pixel image (block5 f+b 4.95 → 4.14 ms on v5e).
     """
     n, sp, _, c = x.shape
     co = kernel.shape[-1]
@@ -83,21 +83,16 @@ def _conv3x3_tiny(kernel: jax.Array, x: jax.Array, stride: int):
         w = kernel[1, 1]  # only the center tap sees the input
     elif sp == 2 and stride == 2:
         w = kernel[1:3, 1:3].reshape(2 * 2 * c, co)  # output pixel (0,0)
-    elif sp == 2 and stride == 1:
-        # (u,v,c) → (i,j,c') dense tap matrix: every in/out pair is within
-        # the 3×3 window, so all 16 pairs are live.
-        w = jnp.stack([
-            jnp.stack([kernel[u - i + 1, v - j + 1]
-                       for i in (0, 1) for j in (0, 1)], axis=1)
-            for u in (0, 1) for v in (0, 1)], axis=0)  # (4, C, 4, C')
-        w = w.reshape(2 * 2 * c, 2 * 2 * co)
     else:
+        # 2×2/stride-1 has an exact (4C, 4C') dense-tap form too, but it
+        # measured ~1% SLOWER than XLA's conv on v5e (tools/probe_conv.py
+        # block4) — XLA already avoids most padding work there. Only the
+        # two measured wins stay.
         return None
-    out_sp = 1 if stride == 2 or sp == 1 else 2
     y = jax.lax.dot_general(
         x.reshape(n, -1), w.reshape(x.size // n, -1),
         (((1,), (0,)), ((), ())), preferred_element_type=x.dtype)
-    return y.reshape(n, out_sp, out_sp, co)
+    return y.reshape(n, 1, 1, co)
 
 
 # ------------------------------------------------------------- batch norm

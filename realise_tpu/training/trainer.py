@@ -32,9 +32,12 @@ import optax
 
 from realise_tpu.config import RealiseConfig
 from realise_tpu.models.realise import (
+    CONV_BATCH_UNIQUE,
     _cfg_cache_key,
     apply_pretrain,
     apply_realise,
+    conv_slot_buckets,
+    res_conv_rows,
 )
 from realise_tpu.parallel.mesh import batch_shardings, param_shardings
 from realise_tpu.training.optim import linear_warmup_schedule, make_tx
@@ -71,8 +74,17 @@ class _StepFns:
 def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
                     use_pallas: bool, shard_pallas: bool,
                     grad_accum_steps: int, mesh,
-                    adam_epsilon: float, with_clip: bool) -> _StepFns:
-    apply_fn = apply_pretrain if pretrain else apply_realise
+                    adam_epsilon: float, with_clip: bool,
+                    conv_slots: int = 0) -> _StepFns:
+    eval_apply_fn = apply_pretrain if pretrain else apply_realise
+    apply_fn = eval_apply_fn
+    if conv_slots and not pretrain:
+        # Batch-unique conv budget: a separate TRAIN executable per slot
+        # bucket; Trainer.train_step picks one from the batch's
+        # host-counted distinct glyph rows (apply_realise
+        # conv_batch_slots). Eval batches are never host-checked, so the
+        # eval step always uses the full-table apply.
+        apply_fn = partial(apply_realise, conv_batch_slots=conv_slots)
     tx = make_tx(params, adam_epsilon=adam_epsilon, with_clip=with_clip)
 
     def accumulate(params, state, batch, rng, pallas):
@@ -129,8 +141,9 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
         kwargs = {}
         if tables is not None:
             kwargs["inference_tables"] = tables
-        out = apply_fn(params, state, batch, cfg,
-                       deterministic=True, use_pallas=use_pallas, **kwargs)
+        out = eval_apply_fn(params, state, batch, cfg,
+                            deterministic=True, use_pallas=use_pallas,
+                            **kwargs)
         res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
         if "loss" in out:
             res["loss"] = out["loss"]
@@ -201,8 +214,9 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
             kwargs = {}
             if tables is not None:
                 kwargs["inference_tables"] = tables
-            out = apply_fn(params, state, batch, cfg,
-                           deterministic=True, use_pallas=True, **kwargs)
+            out = eval_apply_fn(params, state, batch, cfg,
+                                deterministic=True, use_pallas=True,
+                                **kwargs)
             res = {"pred_idx": jnp.argmax(out["logits"], axis=-1)}
             if with_loss:
                 ls = jax.lax.psum(out["loss_sum"], "data")
@@ -230,15 +244,16 @@ def _build_step_fns(cfg: RealiseConfig, params, pretrain: bool,
 
 
 def _step_fns_for(cfg, params, pretrain, use_pallas, shard_pallas,
-                  grad_accum_steps, mesh, adam_epsilon, with_clip) -> _StepFns:
+                  grad_accum_steps, mesh, adam_epsilon, with_clip,
+                  conv_slots: int = 0) -> _StepFns:
     key = (_cfg_cache_key(cfg), pretrain, bool(use_pallas), shard_pallas,
-           grad_accum_steps, mesh, adam_epsilon, with_clip,
+           grad_accum_steps, mesh, adam_epsilon, with_clip, conv_slots,
            jax.tree.structure(params))
     fns = _STEP_CACHE.get(key)
     if fns is None:
         fns = _build_step_fns(cfg, params, pretrain, use_pallas,
                               shard_pallas, grad_accum_steps, mesh,
-                              adam_epsilon, with_clip)
+                              adam_epsilon, with_clip, conv_slots)
         _STEP_CACHE[key] = fns
     return fns
 
@@ -306,12 +321,42 @@ class Trainer:
         self.base_rng = jax.random.PRNGKey(seed)
         self.apply_fn = apply_pretrain if pretrain else apply_realise
 
-        fns = _step_fns_for(cfg, params, pretrain, use_pallas,
-                            self._shard_pallas, grad_accum_steps, mesh,
-                            adam_epsilon, with_clip=max_grad_norm is not None)
+        self._fns_key = dict(
+            cfg=cfg, pretrain=pretrain, use_pallas=use_pallas,
+            shard_pallas=self._shard_pallas,
+            grad_accum_steps=grad_accum_steps, mesh=mesh,
+            adam_epsilon=adam_epsilon,
+            with_clip=max_grad_norm is not None)
+        fns = _step_fns_for(params=params, **self._fns_key)
         self.tx = fns.tx
         self._train_step = fns.train_step
         self._eval_step = fns.eval_step
+
+        # Batch-unique conv (models/realise._factorized_conv): the runner —
+        # not the graph — guarantees the static slot budget, by counting
+        # the batch's distinct glyph rows on the host (in _put_batch, i.e.
+        # on the prefetch thread) and dispatching the matching compiled
+        # bucket; batches that bypass _put_batch's host stage fall back to
+        # the always-correct full-table program. GSPMD multi-device meshes
+        # are excluded (the compact path's unique/sort would partition into
+        # cross-device collectives); the shard_map path counts per shard.
+        self._conv_auto = (CONV_BATCH_UNIQUE and not pretrain
+                           and cfg.with_res
+                           and jax.process_count() == 1
+                           and (mesh is None or self._shard_pallas))
+        self._conv_data_shards = (mesh.shape["data"]
+                                  if self._shard_pallas else 1)
+        self._conv_step_cache: Dict[int, Any] = {}
+        self._res_inverse_np = None
+        self._conv_rows = 0
+        # Counts carry this version; a restore that swaps the glyph tables
+        # bumps it, so stale counts already sitting in the prefetch queue
+        # can never select a compact program against the new tables.
+        self._conv_meta_version = 0
+        if self._conv_auto:
+            self._conv_rows = res_conv_rows(state)
+            if "res_uniq_inverse" in state:
+                self._res_inverse_np = np.asarray(state["res_uniq_inverse"])
         self.schedule = linear_warmup_schedule(learning_rate, warmup_steps,
                                                total_steps)
         opt_state = self.tx.init(params)
@@ -342,18 +387,98 @@ class Trainer:
                                       opt_state=opt_state, step=0)
 
     # ------------------------------------------------------------------ api
+    def _conv_unique_rows(self, src_np: np.ndarray):
+        """(meta_version, max distinct glyph rows) over the conv calls this
+        batch makes — one per (data shard × grad-accum microbatch), both
+        contiguous splits of the batch dim, matching the in-program
+        reshape/sharding exactly. Runs on host numpy before device put."""
+        ids = (src_np if self._res_inverse_np is None
+               else self._res_inverse_np[src_np])
+        groups = self._conv_data_shards * self.grad_accum_steps
+        if ids.shape[0] % groups:
+            u = self._conv_rows  # ragged: let the full program handle it
+        else:
+            u = max(len(np.unique(row)) for row in ids.reshape(groups, -1))
+        return (self._conv_meta_version, u)
+
+    def _refresh_conv_meta(self) -> bool:
+        """Re-derive the host glyph metadata if the live state's tables
+        changed shape (e.g. a checkpoint restore); returns True if current.
+        Same-shape content changes cannot happen for honest states — the
+        inverse is deterministic in (vocab, fonts) (install_glyphs)."""
+        st = self.train_state.state
+        rows = res_conv_rows(st)
+        has_inv = "res_uniq_inverse" in st
+        if (rows == self._conv_rows
+                and has_inv == (self._res_inverse_np is not None)):
+            return True
+        self._conv_rows = rows
+        self._res_inverse_np = (np.asarray(st["res_uniq_inverse"])
+                                if has_inv else None)
+        self._conv_step_cache.clear()
+        self._conv_meta_version += 1
+        return False
+
+    def _select_train_step(self, count, n_tokens: int):
+        """The compiled step whose conv slot budget fits this batch's
+        host-counted distinct rows; the full-table program otherwise."""
+        if count is None or not self._conv_auto:
+            return self._train_step
+        version, u = count
+        if version != self._conv_meta_version or not self._refresh_conv_meta():
+            return self._train_step  # count predates the current tables
+        per_call = n_tokens // (self._conv_data_shards
+                                * self.grad_accum_steps)
+        slots = next((b for b in conv_slot_buckets(self._conv_rows, per_call)
+                      if u <= b), 0)
+        if not slots:
+            return self._train_step
+        fn = self._conv_step_cache.get(slots)
+        if fn is None:
+            logger.info("compiling batch-unique train step: %d conv slots "
+                        "(batch needs %d of %d rows)", slots, u,
+                        self._conv_rows)
+            fn = _step_fns_for(params=self.train_state.params,
+                               conv_slots=slots, **self._fns_key).train_step
+            self._conv_step_cache[slots] = fn
+        return fn
+
     def _put_batch(self, device_batch: Dict[str, np.ndarray]):
         # Idempotent: fit()'s device-prefetch queue already ran batches
         # through this function, and train_step applies it again — on
         # multi-host meshes a second make_global_batch would np.asarray a
         # global array whose shards live on other hosts (crash), and on any
         # mesh it would redo placement work.
+        conv_rows = None
+        if isinstance(device_batch, dict):
+            conv_rows = device_batch.get("_conv_rows_max")
+            if conv_rows is not None:
+                device_batch = {k: v for k, v in device_batch.items()
+                                if k != "_conv_rows_max"}
+            elif (self._conv_auto
+                    and isinstance(device_batch.get("src_idx"), np.ndarray)):
+                # Batch-unique conv: count distinct glyph rows while the
+                # batch is still HOST data (free here on the prefetch
+                # thread; a device pull later would sync the dispatch
+                # queue). Travels with the batch as a plain-int side
+                # channel; train_step pops it before dispatch.
+                conv_rows = self._conv_unique_rows(device_batch["src_idx"])
         leaves = jax.tree.leaves(device_batch)
         if leaves and all(isinstance(x, jax.Array) for x in leaves):
             if self.mesh is None or all(
                     getattr(x.sharding, "mesh", None) == self.mesh
                     for x in leaves):
-                return device_batch
+                out = device_batch
+            else:
+                out = self._put_batch_arrays(device_batch)
+        else:
+            out = self._put_batch_arrays(device_batch)
+        if conv_rows is not None:
+            out = dict(out)
+            out["_conv_rows_max"] = conv_rows
+        return out
+
+    def _put_batch_arrays(self, device_batch):
         if self.mesh is not None:
             from realise_tpu.parallel.distributed import (
                 make_global_batch,
@@ -378,9 +503,16 @@ class Trainer:
         # the compiled program (see _build_step_fns).
         lr = (self.schedule(ts.step) if callable(self.schedule)
               else self.schedule)
+        batch = self._put_batch(device_batch)
+        conv_rows = None
+        if isinstance(batch, dict) and "_conv_rows_max" in batch:
+            batch = dict(batch)
+            conv_rows = batch.pop("_conv_rows_max")
+        step_fn = self._select_train_step(
+            conv_rows, batch["src_idx"].size if "src_idx" in batch else 0)
         # Step goes in as an array so the jitted fn does not retrace per step.
-        params, state, opt_state, loss = self._train_step(
-            ts.params, ts.state, ts.opt_state, self._put_batch(device_batch),
+        params, state, opt_state, loss = step_fn(
+            ts.params, ts.state, ts.opt_state, batch,
             jnp.asarray(ts.step, jnp.int32), self.base_rng,
             jnp.asarray(lr, jnp.float32))
         self.train_state = TrainState(params, state, opt_state, ts.step + 1)
@@ -431,7 +563,11 @@ class Trainer:
 
     def eval_step(self, device_batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         ts = self.train_state
-        out = self._eval_step(ts.params, ts.state, self._put_batch(device_batch),
+        batch = self._put_batch(device_batch)
+        if isinstance(batch, dict) and "_conv_rows_max" in batch:
+            batch = {k: v for k, v in batch.items()
+                     if k != "_conv_rows_max"}  # train-side side channel
+        out = self._eval_step(ts.params, ts.state, batch,
                               getattr(self, "_eval_tables", None))
         if jax.process_count() > 1:
             # Multi-host: outputs are global sharded arrays whose shards

@@ -437,3 +437,70 @@ def test_masked_ce_sum_custom_vjp_matches_autodiff():
             rtol=2e-2, atol=1e-6)
         assert float(masked_cross_entropy_sum(logits, labels, m)[1]) == \
             float(np.asarray(m).sum())
+
+
+def test_conv_batch_unique_matches_full(monkeypatch):
+    """The batch-unique conv stage (convolve only glyph rows present in the
+    batch, static slots, lax.cond overflow fallback) must compute the same
+    features, BN state update, and parameter gradients as the full-table
+    path — it is the same occurrence-weighted function over fewer rows."""
+    import jax
+    import jax.numpy as jnp
+
+    from realise_tpu.config import config_for
+    from realise_tpu.models import realise as R
+    from realise_tpu.ops.resnet import init_char_resnet
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=2048, hidden_size=24,
+                     num_fonts=2, glyph_size=8)
+    g = 2048
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(g, 2, 8, 8).astype(np.float32))
+    rp, bn_state = init_char_resnet(jax.random.PRNGKey(0), in_channels=2,
+                                    variant=cfg.res_encoder, hidden_size=24)
+    state = {"char_images": images, "resnet": bn_state}
+    # 64 token slots drawing from 40 distinct rows → slots=128 engages.
+    src_idx = jnp.asarray(rng.randint(0, 40, size=(4, 16)), jnp.int32)
+    dy = jnp.asarray(rng.randn(4, 16, 24).astype(np.float32))
+
+    def run(train):
+        def loss(rp):
+            feats, new_bn = R._factorized_conv(rp, state, src_idx, train,
+                                               cfg, jnp.float32)
+            return (feats * dy).sum(), (feats, new_bn)
+        (l, (feats, new_bn)), grads = jax.value_and_grad(
+            loss, has_aux=True)(rp)
+        return l, feats, new_bn, grads
+
+    for train in (True, False):
+        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", True)
+        assert R._conv_batch_slots(g, src_idx.size) == 128
+        l_c, f_c, bn_c, g_c = run(train)
+        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", False)
+        l_f, f_f, bn_f, g_f = run(train)
+        # Same function; only the BN-stat reduction ORDER differs (einsum
+        # over 128 slots vs 2048 rows in f32) — tolerances cover that.
+        np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_f),
+                                   rtol=1e-3, atol=1e-5)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5), bn_c, bn_f)
+        jax.tree.map(lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5), g_c, g_f)
+
+    # Overflow: slots smaller than the unique count → the cond must take
+    # the full-table branch and still match.
+    monkeypatch.setattr(R, "_conv_batch_slots", lambda g, n: 128)
+    monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", True)
+    wide = jnp.asarray(rng.choice(g, size=(16, 16), replace=False),
+                       jnp.int32)  # 256 unique ids > 128 slots
+    def loss2(rp, flag):
+        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", flag)
+        feats, _ = R._factorized_conv(rp, state, wide, True, cfg,
+                                      jnp.float32)
+        return feats
+    # Same full-table branch either way; tolerance covers XLA fusing the
+    # cond branch differently than the op-by-op run (a WRONG branch —
+    # compact with truncated uniques — would be off by O(1)).
+    np.testing.assert_allclose(
+        np.asarray(loss2(rp, True)), np.asarray(loss2(rp, False)),
+        rtol=1e-4, atol=1e-4)
