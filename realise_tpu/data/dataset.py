@@ -132,12 +132,21 @@ def synthetic_dataset(
     max_len: int = 12,
     error_rate: float = 0.15,
     seed: int = 0,
+    char_dist: str = "uniform",
 ) -> List[Dict]:
     """Generate a synthetic CSC dataset from the tokenizer's CJK vocab.
 
     Targets are random CJK sentences; sources corrupt ~error_rate of the
     positions with a different random CJK char — the same supervision shape
     as SIGHAN without the corpus. Used by tests, smoke CLIs and the bench.
+
+    ``char_dist``: ``"uniform"`` draws every CJK char equally — the WORST
+    case for the batch-unique conv factorization (a large batch touches
+    most of the glyph table). ``"zipf"`` draws chars with the rank-frequency
+    law real Chinese text follows (p(rank r) ∝ 1/(r+2.7)^1.05 — the
+    Zipf-Mandelbrot fit for modern Chinese corpora, where a 30k-char batch
+    covers ~2-4k distinct characters, not ~11k): the realistic workload for
+    training benchmarks.
     """
     from realise_tpu.data.features import make_example
     from realise_tpu.text.tokenizer import is_chinese_char
@@ -147,14 +156,41 @@ def synthetic_dataset(
            if len(t) == 1 and is_chinese_char(ord(t))]
     if len(cjk) < 8:
         raise ValueError("tokenizer vocab has too few CJK chars")
+    if char_dist == "zipf":
+        import numpy as np
+
+        # Frequency rank is independent of vocab order: shuffle so rank 0
+        # isn't always the same codepoint across seeds.
+        rng.shuffle(cjk)
+        ranks = np.arange(len(cjk), dtype=np.float64)
+        p = 1.0 / np.power(ranks + 2.7, 1.05)
+        p /= p.sum()
+        npr = np.random.RandomState(seed + 1)
+        cdf = np.cumsum(p)
+        buf: List[int] = []
+
+        def pick(_cjk=cjk, _buf=buf):
+            if not _buf:
+                # Inverse-CDF in bulk: np.random.choice(p=...) rebuilds the
+                # cumsum per call, O(V) per draw.
+                _buf.extend(np.searchsorted(
+                    cdf, npr.random_sample(4096)).tolist())
+            return _cjk[_buf.pop()]
+    elif char_dist == "uniform":
+        # NOTE: keep this branch's random-stream consumption EXACTLY as it
+        # always was (rng.choice inside the loop) — seeded synthetic data
+        # is pinned by golden/convergence tests.
+        pick = lambda: rng.choice(cjk)
+    else:
+        raise ValueError(f"unknown char_dist {char_dist!r}")
     data = []
     for n in range(num_examples):
         length = rng.randint(min_len, max_len)
-        tgt = [rng.choice(cjk) for _ in range(length)]
+        tgt = [pick() for _ in range(length)]
         src = list(tgt)
         for i in range(length):
             if rng.random() < error_rate:
-                src[i] = rng.choice(cjk)
+                src[i] = pick()
         data.append(make_example(f"{10000 + n}", "".join(src), "".join(tgt),
                                  tokenizer))
     return data

@@ -391,15 +391,24 @@ class Trainer:
         """(meta_version, max distinct glyph rows) over the conv calls this
         batch makes — one per (data shard × grad-accum microbatch), both
         contiguous splits of the batch dim, matching the in-program
-        reshape/sharding exactly. Runs on host numpy before device put."""
-        ids = (src_np if self._res_inverse_np is None
-               else self._res_inverse_np[src_np])
+        reshape/sharding exactly. Runs on host numpy before device put.
+
+        Runs on the prefetch thread, racing _refresh_conv_meta on the
+        training thread: the VERSION is read first, then the inverse
+        reference snapshotted, so an interleaved restore can only stamp a
+        count computed against the NEW inverse with the OLD version — which
+        _select_train_step rejects (full-table program). The unsafe
+        interleaving (old-inverse count carrying the new version) cannot
+        occur."""
+        version = self._conv_meta_version
+        inverse = self._res_inverse_np
+        ids = src_np if inverse is None else inverse[src_np]
         groups = self._conv_data_shards * self.grad_accum_steps
         if ids.shape[0] % groups:
             u = self._conv_rows  # ragged: let the full program handle it
         else:
             u = max(len(np.unique(row)) for row in ids.reshape(groups, -1))
-        return (self._conv_meta_version, u)
+        return (version, u)
 
     def _refresh_conv_meta(self) -> bool:
         """Re-derive the host glyph metadata if the live state's tables
@@ -443,7 +452,8 @@ class Trainer:
             self._conv_step_cache[slots] = fn
         return fn
 
-    def _put_batch(self, device_batch: Dict[str, np.ndarray]):
+    def _put_batch(self, device_batch: Dict[str, np.ndarray],
+                   train: bool = True):
         # Idempotent: fit()'s device-prefetch queue already ran batches
         # through this function, and train_step applies it again — on
         # multi-host meshes a second make_global_batch would np.asarray a
@@ -455,7 +465,7 @@ class Trainer:
             if conv_rows is not None:
                 device_batch = {k: v for k, v in device_batch.items()
                                 if k != "_conv_rows_max"}
-            elif (self._conv_auto
+            elif (train and self._conv_auto
                     and isinstance(device_batch.get("src_idx"), np.ndarray)):
                 # Batch-unique conv: count distinct glyph rows while the
                 # batch is still HOST data (free here on the prefetch
@@ -563,7 +573,11 @@ class Trainer:
 
     def eval_step(self, device_batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         ts = self.train_state
-        batch = self._put_batch(device_batch)
+        # train=False skips the host unique-row count — eval always runs the
+        # full-table program, so the O(B·S log) np.unique would be wasted
+        # prefetch-thread work. The strip below still guards batches that
+        # came through a train-path prefetch queue.
+        batch = self._put_batch(device_batch, train=False)
         if isinstance(batch, dict) and "_conv_rows_max" in batch:
             batch = {k: v for k, v in batch.items()
                      if k != "_conv_rows_max"}  # train-side side channel

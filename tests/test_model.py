@@ -439,16 +439,19 @@ def test_masked_ce_sum_custom_vjp_matches_autodiff():
             float(np.asarray(m).sum())
 
 
-def test_conv_batch_unique_matches_full(monkeypatch):
-    """The batch-unique conv stage (convolve only glyph rows present in the
-    batch, static slots, lax.cond overflow fallback) must compute the same
-    features, BN state update, and parameter gradients as the full-table
-    path — it is the same occurrence-weighted function over fewer rows."""
+def test_conv_batch_unique_matches_full():
+    """The batch-unique conv stage (``batch_slots > 0``: convolve only the
+    glyph rows present in this call, compacted under a static shape by
+    ``jnp.unique(size=batch_slots)``) must compute the same features, BN
+    state update, and parameter gradients as the full-table path — it is
+    the same occurrence-weighted function over fewer rows. Protects the
+    reference semantics that the factorized conv equals the per-token conv
+    exactly (src/char_cnn.py:35-55 + src/models.py:829-838)."""
     import jax
     import jax.numpy as jnp
 
     from realise_tpu.config import config_for
-    from realise_tpu.models import realise as R
+    from realise_tpu.models.realise import _factorized_conv
     from realise_tpu.ops.resnet import init_char_resnet
 
     cfg = config_for("bert-pho2-res-arch3", vocab_size=2048, hidden_size=24,
@@ -459,48 +462,67 @@ def test_conv_batch_unique_matches_full(monkeypatch):
     rp, bn_state = init_char_resnet(jax.random.PRNGKey(0), in_channels=2,
                                     variant=cfg.res_encoder, hidden_size=24)
     state = {"char_images": images, "resnet": bn_state}
-    # 64 token slots drawing from 40 distinct rows → slots=128 engages.
+    # 64 token slots drawing from 40 distinct rows (with repeats, so the
+    # occurrence-weighted BN pooling is actually exercised).
     src_idx = jnp.asarray(rng.randint(0, 40, size=(4, 16)), jnp.int32)
+    n_uniq = len(np.unique(np.asarray(src_idx)))
+    assert 1 < n_uniq <= 40
     dy = jnp.asarray(rng.randn(4, 16, 24).astype(np.float32))
 
-    def run(train):
+    def run(train, slots):
         def loss(rp):
-            feats, new_bn = R._factorized_conv(rp, state, src_idx, train,
-                                               cfg, jnp.float32)
+            feats, new_bn = _factorized_conv(rp, state, src_idx, train,
+                                             cfg, jnp.float32,
+                                             batch_slots=slots)
             return (feats * dy).sum(), (feats, new_bn)
         (l, (feats, new_bn)), grads = jax.value_and_grad(
             loss, has_aux=True)(rp)
         return l, feats, new_bn, grads
 
-    for train in (True, False):
-        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", True)
-        assert R._conv_batch_slots(g, src_idx.size) == 128
-        l_c, f_c, bn_c, g_c = run(train)
-        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", False)
-        l_f, f_f, bn_f, g_f = run(train)
-        # Same function; only the BN-stat reduction ORDER differs (einsum
-        # over 128 slots vs 2048 rows in f32) — tolerances cover that.
-        np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_f),
-                                   rtol=1e-3, atol=1e-5)
-        jax.tree.map(lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5), bn_c, bn_f)
-        jax.tree.map(lambda a, b: np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5), g_c, g_f)
+    def assert_trees_close(a, b):
+        jax.tree.map(lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), rtol=1e-3, atol=1e-5), a, b)
 
-    # Overflow: slots smaller than the unique count → the cond must take
-    # the full-table branch and still match.
-    monkeypatch.setattr(R, "_conv_batch_slots", lambda g, n: 128)
-    monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", True)
-    wide = jnp.asarray(rng.choice(g, size=(16, 16), replace=False),
-                       jnp.int32)  # 256 unique ids > 128 slots
-    def loss2(rp, flag):
-        monkeypatch.setattr(R, "_CONV_BATCH_UNIQUE", flag)
-        feats, _ = R._factorized_conv(rp, state, wide, True, cfg,
-                                      jnp.float32)
-        return feats
-    # Same full-table branch either way; tolerance covers XLA fusing the
-    # cond branch differently than the op-by-op run (a WRONG branch —
-    # compact with truncated uniques — would be off by O(1)).
-    np.testing.assert_allclose(
-        np.asarray(loss2(rp, True)), np.asarray(loss2(rp, False)),
-        rtol=1e-4, atol=1e-4)
+    for train in (True, False):
+        # Compact with headroom (fill slots weight 0), compact with the
+        # budget EXACTLY at the unique count (no fill slots), and the
+        # slots >= g degenerate guard must all equal the full table.
+        l_f, f_f, bn_f, g_f = run(train, 0)
+        for slots in (128, n_uniq, g + 128):
+            l_c, f_c, bn_c, g_c = run(train, slots)
+            # Same function; only the BN-stat reduction ORDER differs
+            # (einsum over `slots` rows vs 2048 rows in f32).
+            np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_f),
+                                       rtol=1e-3, atol=1e-5)
+            assert_trees_close(bn_c, bn_f)
+            assert_trees_close(g_c, g_f)
+
+
+def test_conv_slot_buckets_properties():
+    """The candidate slot budgets the runner chooses from: every bucket
+    must be profitable (undercut both the g-row vocab table and the
+    n-token per-token conv by the documented 1024-row margin), cover the
+    analytic uniform worst case at the top, and be sorted so `next(b for b
+    in buckets if u <= b)` picks the smallest sufficient program."""
+    import math
+
+    from realise_tpu.models.realise import conv_slot_buckets
+
+    for g, n in [(8192, 3072), (21248, 3072), (21248, 32768), (4096, 3072),
+                 (21248, 131072), (3072, 3072)]:
+        buckets = conv_slot_buckets(g, n)
+        assert buckets == sorted(buckets)
+        limit = min(g, n) - 1024
+        worst = min(n, g, int(g * (1.0 - math.exp(-n / g))
+                              + 4.0 * math.sqrt(g)))
+        worst += (-worst) % 128
+        for b in buckets:
+            assert b <= limit, (g, n, b)
+        if buckets:
+            # Top bucket covers the padded analytic worst case whenever
+            # that worst case is itself profitable.
+            if worst <= limit:
+                assert buckets[-1] >= worst, (g, n, buckets, worst)
+    # Tiny tables/batches: no compact program is worth a second compile.
+    assert conv_slot_buckets(400, 96) == []
+    assert conv_slot_buckets(2048, 1024) == []

@@ -450,3 +450,162 @@ def test_pallas_tp_mesh_falls_back_to_jnp(tokenizer):
                  use_pallas=True)
     assert not tr._shard_pallas and not tr.use_pallas
     assert np.isfinite(float(tr.train_step(batch)))
+
+
+# ----------------------------------------------- batch-unique conv chain
+# The runner — not the graph — guarantees _factorized_conv's static slot
+# budget (models/realise.py: "THE CALLER MUST GUARANTEE"): Trainer counts
+# each batch's distinct glyph rows on the host and dispatches a compiled
+# program whose budget covers them. An under-count would make
+# jnp.unique(size=slots) truncate SILENTLY and corrupt training, so the
+# whole chain (count → version guard → bucket selection → compact program)
+# gets direct coverage here.
+
+def _glyph_setup(tokenizer, dedup: bool, **kw):
+    """arch3 setup with a NON-placeholder glyph table. ``dedup``: build
+    glyphs with heavy row sharing so install_glyphs installs the
+    deduplicated table + inverse; otherwise all-distinct rows keep the
+    plain per-vocab path (inverse is None)."""
+    from realise_tpu.models.realise import init_realise as init
+
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=len(tokenizer),
+                     **{**TINY, "glyph_size": 8, **kw})
+    v = cfg.vocab_size
+    rng = np.random.RandomState(7)
+    glyphs = rng.randn(v, 1, 8, 8).astype(np.float32)
+    if dedup:
+        glyphs = glyphs[rng.randint(0, 48, size=v)]  # <=48 distinct rows
+    params, state = init(jax.random.PRNGKey(0), cfg, glyphs=jnp.asarray(glyphs))
+    return cfg, params, state
+
+
+def test_conv_unique_rows_matches_program_splits(tokenizer):
+    """The host count must equal the max distinct-row count over exactly
+    the contiguous splits the compiled program takes: shard_map slices the
+    batch dim into contiguous per-device blocks (P('data')), and the
+    grad-accum scan reshapes each block into contiguous microbatches —
+    i.e. the flat (shards × accum) contiguous grouping."""
+    from realise_tpu.models.realise import res_conv_rows
+
+    for dedup in (False, True):
+        cfg, params, state = _glyph_setup(tokenizer, dedup)
+        mesh = make_mesh({"data": 4}, devices=jax.devices()[:4])
+        tr = Trainer(cfg, params, state, mesh=mesh, use_pallas=True,
+                     grad_accum_steps=2)
+        assert tr._conv_auto and tr._conv_data_shards == 4
+        assert tr._conv_rows == res_conv_rows(tr.train_state.state)
+        assert (tr._res_inverse_np is not None) == dedup
+        rng = np.random.RandomState(3)
+        B, S = 16, 12
+        # Adversarial spread: block 0 draws from 2 rows, the last from the
+        # whole vocab — per-group unique counts differ wildly, so any
+        # wrong grouping (strided, global) moves the max.
+        src = rng.randint(0, cfg.vocab_size, size=(B, S)).astype(np.int32)
+        src[:2] = rng.randint(0, 2, size=(2, S))
+        version, u = tr._conv_unique_rows(src)
+        assert version == tr._conv_meta_version
+        ids = src if tr._res_inverse_np is None else tr._res_inverse_np[src]
+        expected = 0
+        for d in range(4):                      # contiguous device shards
+            blk = ids[d * 4:(d + 1) * 4]
+            for m in range(2):                  # contiguous microbatches
+                expected = max(expected,
+                               len(np.unique(blk[m * 2:(m + 1) * 2])))
+        assert u == expected
+        # Batch not divisible into the program's groups: the count must be
+        # the full-row sentinel (never an under-count).
+        v2, u2 = tr._conv_unique_rows(src[:6])
+        assert u2 == tr._conv_rows
+
+
+def test_trainer_batch_unique_program_matches_full(tokenizer, monkeypatch):
+    """End-to-end: Trainer.train_step with a compact conv program selected
+    must produce the same loss and parameter update as the full-table
+    program — single device with grad accum, and under a shard_map data
+    mesh with the pallas kernels. Parallelism/factorization never changes
+    the math (the reference's DDP guarantee, run.py:164-167)."""
+    import realise_tpu.training.trainer as T
+
+    copy = lambda t: jax.tree.map(lambda x: jnp.array(x, copy=True), t)
+    cfg, params, state = _glyph_setup(tokenizer, dedup=True)
+    feat = Featurizer(tokenizer, cfg)
+    data = synthetic_dataset(tokenizer, num_examples=32, max_len=10, seed=1)
+    batch = feat.device_batch(feat.featurize(data))
+    assert isinstance(batch["src_idx"], np.ndarray)
+
+    # Small real-shaped budgets for the tiny test table (the production
+    # bucket curve starts at 2048 rows — exercised in test_model's
+    # conv_slot_buckets test); u <= 32 here by construction.
+    monkeypatch.setattr(T, "conv_slot_buckets", lambda g, n: [32, 64])
+
+    cases = [
+        dict(mesh=None, use_pallas=False, grad_accum_steps=2),
+        dict(mesh=make_mesh({"data": 8}), use_pallas=True,
+             grad_accum_steps=2),
+    ]
+    for kw in cases:
+        tr_c = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                       seed=3, **kw)
+        assert tr_c._conv_auto, kw
+        monkeypatch.setattr(T, "CONV_BATCH_UNIQUE", False)
+        tr_f = Trainer(cfg, copy(params), copy(state), learning_rate=1e-3,
+                       seed=3, **kw)
+        monkeypatch.setattr(T, "CONV_BATCH_UNIQUE", True)
+        assert not tr_f._conv_auto
+
+        l_c = float(tr_c.train_step(batch))
+        l_f = float(tr_f.train_step(batch))
+        # A compact program must actually have been compiled + used, and
+        # its budget must cover the batch's host-counted unique rows.
+        assert tr_c._conv_step_cache and not tr_f._conv_step_cache
+        _, u = tr_c._conv_unique_rows(batch["src_idx"])
+        assert min(tr_c._conv_step_cache) >= u
+        np.testing.assert_allclose(l_c, l_f, rtol=1e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5),
+            tr_c.train_state.params, tr_f.train_state.params)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-3, atol=2e-5),
+            tr_c.train_state.state["resnet"],
+            tr_f.train_state.state["resnet"])
+
+
+def test_conv_meta_version_staleness_guard(tokenizer, monkeypatch):
+    """A count computed against OLD glyph tables must never select a
+    compact program against NEW tables (checkpoint restore while counts
+    sit in the prefetch queue): the version stamp forces the always-
+    correct full-table program, and fresh counts work again after."""
+    import realise_tpu.training.trainer as T
+    from realise_tpu.training.trainer import TrainState
+
+    monkeypatch.setattr(T, "conv_slot_buckets", lambda g, n: [32, 64])
+    cfg, params, state = _glyph_setup(tokenizer, dedup=True)
+    _, params2, state2 = _glyph_setup(tokenizer, dedup=False)
+    tr = Trainer(cfg, params, state, learning_rate=1e-3)
+    assert tr._conv_auto
+    rng = np.random.RandomState(0)
+    src = rng.randint(0, 30, size=(8, 12)).astype(np.int32)
+    n = src.size
+
+    stale = tr._conv_unique_rows(src)
+    assert tr._select_train_step(stale, n) is not tr._train_step
+
+    # "Restore" a state whose glyph tables have a different shape (plain
+    # per-vocab table vs deduplicated): the stale count must now be
+    # rejected even though its version field still matches — refresh
+    # detects the shape change first.
+    ts = tr.train_state
+    tr.train_state = TrainState(params2, state2, ts.opt_state, ts.step)
+    assert tr._select_train_step(stale, n) is tr._train_step
+    assert tr._conv_meta_version > stale[0]
+
+    # Fresh count against the restored tables selects compactly again.
+    fresh = tr._conv_unique_rows(src)
+    assert fresh[0] == tr._conv_meta_version
+    assert tr._select_train_step(fresh, n) is not tr._train_step
+    # And a count whose version predates the CURRENT one is rejected even
+    # with identical table shapes.
+    assert tr._select_train_step((fresh[0] - 1, fresh[1]), n) \
+        is tr._train_step
