@@ -454,9 +454,9 @@ def test_conv_batch_unique_matches_full():
     from realise_tpu.models.realise import _factorized_conv
     from realise_tpu.ops.resnet import init_char_resnet
 
-    cfg = config_for("bert-pho2-res-arch3", vocab_size=2048, hidden_size=24,
+    cfg = config_for("bert-pho2-res-arch3", vocab_size=512, hidden_size=24,
                      num_fonts=2, glyph_size=8)
-    g = 2048
+    g = 512
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.randn(g, 2, 8, 8).astype(np.float32))
     rp, bn_state = init_char_resnet(jax.random.PRNGKey(0), in_channels=2,
@@ -470,13 +470,17 @@ def test_conv_batch_unique_matches_full():
     dy = jnp.asarray(rng.randn(4, 16, 24).astype(np.float32))
 
     def run(train, slots):
-        def loss(rp):
-            feats, new_bn = _factorized_conv(rp, state, src_idx, train,
-                                             cfg, jnp.float32,
-                                             batch_slots=slots)
-            return (feats * dy).sum(), (feats, new_bn)
-        (l, (feats, new_bn)), grads = jax.value_and_grad(
-            loss, has_aux=True)(rp)
+        # jit per (train, slots): eager op-by-op grads through the 5-block
+        # conv took >80 s on CPU; compiled it's seconds.
+        @jax.jit
+        def go(rp):
+            def loss(rp):
+                feats, new_bn = _factorized_conv(rp, state, src_idx, train,
+                                                 cfg, jnp.float32,
+                                                 batch_slots=slots)
+                return (feats * dy).sum(), (feats, new_bn)
+            return jax.value_and_grad(loss, has_aux=True)(rp)
+        (l, (feats, new_bn)), grads = go(rp)
         return l, feats, new_bn, grads
 
     def assert_trees_close(a, b):
@@ -491,7 +495,7 @@ def test_conv_batch_unique_matches_full():
         for slots in (128, n_uniq, g + 128):
             l_c, f_c, bn_c, g_c = run(train, slots)
             # Same function; only the BN-stat reduction ORDER differs
-            # (einsum over `slots` rows vs 2048 rows in f32).
+            # (einsum over `slots` rows vs all g rows in f32).
             np.testing.assert_allclose(np.asarray(f_c), np.asarray(f_f),
                                        rtol=1e-3, atol=1e-5)
             assert_trees_close(bn_c, bn_f)
