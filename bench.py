@@ -5,7 +5,11 @@ Prints ONE JSON line:
      "vs_baseline": N, "train_sentences_per_sec": N, "train_mfu": N,
      "infer_mfu": N, "full_forward_sentences_per_sec": N}
 
-Measured by default (all at batch 256, S=128, bf16, full 21128 vocab):
+Measured by default (all at batch 256, S=128, bf16, full 21128 vocab;
+the vocab's composition matches the REAL hfl/chinese-roberta-wwm-ext —
+~36% single-CJK/renderable, so install_glyphs' dedup runs the conv stream
+over ~7.7k rows as it would on real fonts. ``--all_cjk_vocab`` restores
+the r1-r4 ~99%-CJK worst case where every one of 21128 rows convolves):
 
 * **infer** (headline): serving fast path — per-vocab GRU/glyph features
   precomputed into (V, H) tables (realise_tpu.models.realise), so the hot
@@ -159,7 +163,7 @@ def analytic_flops_per_sentence(cfg, fast_path: bool, train: bool,
 
 
 def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False,
-          infer: bool = True):
+          infer: bool = True, cjk_chars: "int | None" = 7606):
     import jax
 
     from realise_tpu.config import config_for
@@ -175,8 +179,14 @@ def build(tiny: bool, batch_size: int, train: bool, use_pallas: bool = False,
     from realise_tpu.text.vocab import build_synthetic_vocab, vocab_to_dict
 
     # Full-scale vocabulary (21128, the BERT-Chinese size) unless smoke.
+    # ``cjk_chars=7606`` reproduces the REAL vocab's ~36%-renderable
+    # composition (hfl/chinese-roberta-wwm-ext; see build_synthetic_vocab),
+    # which engages install_glyphs' dedup table exactly as real fonts do —
+    # the r1-r4 bench vocab was ~99% CJK, an artificial 2.8× inflation of
+    # the conv stream's row count. None = that legacy all-CJK worst case.
     _log("building vocab/tokenizer")
-    vocab = build_synthetic_vocab(size=None if tiny else 21128)
+    vocab = build_synthetic_vocab(size=None if tiny else 21128,
+                                  cjk_chars=None if tiny else cjk_chars)
     tokenizer = WordPieceTokenizer(vocab_to_dict(vocab))
     if tiny:
         cfg = config_for(
@@ -305,6 +315,11 @@ def main():
     p.add_argument("--train_trace_dir", default=None,
                    help="capture a jax.profiler trace of the timed training "
                         "steps into this directory")
+    p.add_argument("--all_cjk_vocab", action="store_true",
+                   help="legacy r1-r4 vocab composition (~99%% CJK, no "
+                        "glyph dedup): the conv stream's artificial worst "
+                        "case, kept for cross-round comparability. Default "
+                        "is the real vocab's ~36%%-renderable composition.")
     args = p.parse_args()
     if args.train_only and not args.train:
         p.error("--train-only and --no-train are contradictory")
@@ -336,12 +351,22 @@ def main():
     (infer_step, full_fwd, trainer, (params, state, infer_batch, batch),
      bs, cfg_full, (tokenizer, feat)) = build(
          tiny=args.smoke, batch_size=bs, train=args.train,
-         use_pallas=args.use_pallas, infer=not args.train_only)
+         use_pallas=args.use_pallas, infer=not args.train_only,
+         cjk_chars=None if args.all_cjk_vocab else 7606)
 
     peak, kind = peak_flops()
     _log(f"device_kind={kind!r}, assumed bf16 peak {peak / 1e12:.0f} TFLOP/s")
 
     result = {}
+    if not args.smoke:
+        from realise_tpu.models.realise import res_conv_rows
+
+        result["conv_rows"] = res_conv_rows(state)
+        result["vocab_composition"] = ("all_cjk (legacy r1-r4)"
+                                       if args.all_cjk_vocab
+                                       else "realistic (~36% CJK, dedup)")
+        _log(f"conv stream rows: {result['conv_rows']} "
+             f"({result['vocab_composition']})")
     sent_per_sec, infer_mfu = None, None
 
     if not args.train_only:

@@ -210,6 +210,15 @@ def _save_qkv() -> bool:
     return os.environ.get("REALISE_TPU_ATTN_SAVE_QKV", "0") == "1"
 
 
+# Compute q/k/v as ONE (rows, H)×(H, 3H) matmul against the concatenated
+# [Wq|Wk|Wv] (and dx/dW as single (rows,3H)-wide matmuls in the backward)
+# instead of three H-wide dots: same contraction per output column — the
+# f32 accumulation order over k is unchanged — but a 3× wider MXU N dim
+# and 6 fewer matmul dispatches per layer f+b. Opt-in for A/B sweeps.
+def _fused_qkv() -> bool:
+    return os.environ.get("REALISE_TPU_ATTN_FUSED_QKV", "0") == "1"
+
+
 def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                    p_rate, h_rate, interpret, save_qkv=False):
     """Training forward: returns (y, qkv_or_None). Unlike the FFN block, no
@@ -221,6 +230,7 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
     hd = hdim // num_heads
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
+    fused = _fused_qkv()
     # qkv/ctx/z32 working set per example ≈ 5·S·H·2B + S·H·4B + heads' S².
     bb = _train_block_b(b, 5 * s * hdim * 2 + s * hdim * 4 + s * s * 4)
     wcast = lambda p: p["kernel"].astype(dtype)
@@ -228,19 +238,33 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
                              (b, 8, s))
     ln = attn_params["layer_norm"]
 
-    def kernel(seed_ref, x_ref, wq_ref, bq_ref, wk_ref, bk_ref, wv_ref,
-               bv_ref, wo_ref, bo_ref, g_ref, be_ref, bias_ref, o_ref,
-               *qkv_refs):
+    def kernel(seed_ref, x_ref, *refs):
+        if fused:
+            # One [Wq|Wk|Wv] / [bq|bk|bv] operand pair instead of three.
+            (w3_ref, b3_ref, wo_ref, bo_ref, g_ref, be_ref,
+             bias_ref), refs = refs[:7], refs[7:]
+        else:
+            (wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+             bo_ref, g_ref, be_ref, bias_ref), refs = refs[:11], refs[11:]
+        o_ref, qkv_refs = refs[0], refs[1:]
         i = pl.program_id(0)
         seed_s = seed_ref[0]
         xf = x_ref[:].reshape(bb * s, hdim)
-        proj = lambda w_ref, b_ref: (
-            jnp.dot(xf, w_ref[:],
-                    preferred_element_type=jnp.float32).astype(dtype)
-            + b_ref[:].astype(dtype))
-        q = proj(wq_ref, bq_ref)
-        k = proj(wk_ref, bk_ref)
-        v = proj(wv_ref, bv_ref)
+        if fused:
+            qkv3 = (jnp.dot(xf, w3_ref[:],
+                            preferred_element_type=jnp.float32).astype(dtype)
+                    + b3_ref[:].astype(dtype))
+            q = qkv3[:, :hdim]
+            k = qkv3[:, hdim:2 * hdim]
+            v = qkv3[:, 2 * hdim:]
+        else:
+            proj = lambda w_ref, b_ref: (
+                jnp.dot(xf, w_ref[:],
+                        preferred_element_type=jnp.float32).astype(dtype)
+                + b_ref[:].astype(dtype))
+            q = proj(wq_ref, bq_ref)
+            k = proj(wk_ref, bk_ref)
+            v = proj(wv_ref, bv_ref)
         if save_qkv:
             qkv_refs[0][:] = q.reshape(bb, s, hdim)
             qkv_refs[1][:] = k.reshape(bb, s, hdim)
@@ -271,22 +295,39 @@ def _attn_fwd_impl(x, attn_params, bias, seed, num_heads, eps,
     wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w3spec = pl.BlockSpec((hdim, 3 * hdim), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    r3spec = pl.BlockSpec((1, 3 * hdim), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    if fused:
+        # Concatenated OUTSIDE the kernel — one XLA concat per call, not
+        # one VMEM copy per grid step.
+        weight_specs = [w3spec, r3spec]
+        weight_ops = [
+            jnp.concatenate([wcast(attn_params[n]) for n in
+                             ("query", "key", "value")], axis=1),
+            jnp.concatenate([_row(attn_params[n]["bias"]) for n in
+                             ("query", "key", "value")], axis=1),
+        ]
+    else:
+        weight_specs = [wspec, rspec, wspec, rspec, wspec, rspec]
+        weight_ops = [
+            wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
+            wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
+            wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+        ]
     n_out = 4 if save_qkv else 1
     out = pl.pallas_call(
         kernel, grid=(b // bb,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  xspec, wspec, rspec, wspec, rspec, wspec, rspec,
-                  wspec, rspec, rspec, rspec, bspec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), xspec]
+                 + weight_specs + [wspec, rspec, rspec, rspec, bspec],
         out_specs=(xspec,) * n_out,
         out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),) * n_out,
         interpret=interpret,
         compiler_params=_TRAIN_VMEM_LIMIT,
-    )(seed, x,
-      wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
-      wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
-      wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+    )(seed, x, *weight_ops,
       wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
       _row(ln["scale"]), _row(ln["bias"]), bias2)
     if save_qkv:
@@ -315,6 +356,7 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
     scale = 1.0 / (hd ** 0.5)
     dtype = x.dtype
     with_qkv = qkv is not None
+    fused = _fused_qkv()
     # x/dy/q/k/v/ctx/dctx/dq/dk/dv ≈ 10 bf16 bufs + z32/dz f32 + the
     # per-head probs/keep stash (12 heads × (S, S) f32 × 2).
     bb = _train_block_b(b, 10 * s * hdim * 2 + 2 * s * hdim * 4
@@ -325,20 +367,30 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
                              (b, 8, s))
     ln = attn_params["layer_norm"]
 
-    def kernel(seed_ref, x_ref, dy_ref, wq_ref, bq_ref, wk_ref,
-               bk_ref, wv_ref, bv_ref, wo_ref, bo_ref, g_ref, bias_ref,
-               *refs):
+    def kernel(seed_ref, x_ref, dy_ref, *refs):
+        if fused:
+            (w3_ref, b3_ref, wo_ref, bo_ref, g_ref,
+             bias_ref), refs = refs[:6], refs[6:]
+        else:
+            (wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref, wo_ref,
+             bo_ref, g_ref, bias_ref), refs = refs[:10], refs[10:]
         if with_qkv:
             (q_ref, k_ref, v_ref), refs = refs[:3], refs[3:]
-        (dx_ref, ctx_ref, dattn_ref, dwq_ref, dbq_ref, dwk_ref,
-         dbk_ref, dwv_ref, dbv_ref, dg_ref, dbe_ref) = refs
+        if fused:
+            (dx_ref, ctx_ref, dattn_ref, dw3_ref, db3_ref, dg_ref,
+             dbe_ref) = refs
+            grad_refs = (dw3_ref, db3_ref, dg_ref, dbe_ref)
+        else:
+            (dx_ref, ctx_ref, dattn_ref, dwq_ref, dbq_ref, dwk_ref,
+             dbk_ref, dwv_ref, dbv_ref, dg_ref, dbe_ref) = refs
+            grad_refs = (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
+                         dbv_ref, dg_ref, dbe_ref)
         i = pl.program_id(0)
         seed_s = seed_ref[0]
 
         @pl.when(i == 0)
         def _():
-            for ref in (dwq_ref, dbq_ref, dwk_ref, dbk_ref, dwv_ref,
-                        dbv_ref, dg_ref, dbe_ref):
+            for ref in grad_refs:
                 ref[:] = jnp.zeros_like(ref)
 
         xf = x_ref[:].reshape(bb * s, hdim)
@@ -348,6 +400,13 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
             q = q_ref[:].reshape(bb * s, hdim)
             k = k_ref[:].reshape(bb * s, hdim)
             v = v_ref[:].reshape(bb * s, hdim)
+        elif fused:
+            qkv3 = (jnp.dot(xf, w3_ref[:],
+                            preferred_element_type=jnp.float32).astype(dtype)
+                    + b3_ref[:].astype(dtype))
+            q = qkv3[:, :hdim]
+            k = qkv3[:, hdim:2 * hdim]
+            v = qkv3[:, 2 * hdim:]
         else:
             proj = lambda w_ref, b_ref: (
                 jnp.dot(xf, w_ref[:],
@@ -461,17 +520,27 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
         gw = lambda dout: jax.lax.dot_general(
             xf, dout, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dwq_ref[:] += gw(dq)
-        dwk_ref[:] += gw(dk)
-        dwv_ref[:] += gw(dv)
-        dbq_ref[:] += jnp.sum(dq.astype(jnp.float32), axis=0, keepdims=True)
-        dbk_ref[:] += jnp.sum(dk.astype(jnp.float32), axis=0, keepdims=True)
-        dbv_ref[:] += jnp.sum(dv.astype(jnp.float32), axis=0, keepdims=True)
-
         dproj = lambda d, w_ref: jax.lax.dot_general(
             d, w_ref[:], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        dx = dz + dproj(dq, wq_ref) + dproj(dk, wk_ref) + dproj(dv, wv_ref)
+        if fused:
+            dqkv = jnp.concatenate([dq, dk, dv], axis=1)
+            dw3_ref[:] += gw(dqkv)
+            db3_ref[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+            dx = dz + dproj(dqkv, w3_ref)
+        else:
+            dwq_ref[:] += gw(dq)
+            dwk_ref[:] += gw(dk)
+            dwv_ref[:] += gw(dv)
+            dbq_ref[:] += jnp.sum(dq.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+            dbk_ref[:] += jnp.sum(dk.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+            dbv_ref[:] += jnp.sum(dv.astype(jnp.float32), axis=0,
+                                  keepdims=True)
+            dx = (dz + dproj(dq, wq_ref) + dproj(dk, wk_ref)
+                  + dproj(dv, wv_ref))
         dx_ref[:] = dx.astype(dx_ref.dtype).reshape(bb, s, hdim)
 
     xspec = pl.BlockSpec((bb, s, hdim), lambda i: (i, 0, 0),
@@ -479,41 +548,63 @@ def _attn_bwd_impl(x, attn_params, bias, seed, dy, num_heads, eps,
     wspec = pl.BlockSpec((hdim, hdim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
     rspec = pl.BlockSpec((1, hdim), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    w3spec = pl.BlockSpec((hdim, 3 * hdim), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    r3spec = pl.BlockSpec((1, 3 * hdim), lambda i: (0, 0),
+                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((bb, 8, s), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     f32 = jnp.float32
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                xspec, xspec, wspec, rspec, wspec, rspec,
-                wspec, rspec, wspec, rspec, rspec, bspec]
-    operands = [seed, x, dy,
-                wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
-                wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
-                wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
-                wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
-                _row(ln["scale"]), bias2]
+    if fused:
+        weight_specs = [w3spec, r3spec]
+        weight_ops = [
+            jnp.concatenate([wcast(attn_params[n]) for n in
+                             ("query", "key", "value")], axis=1),
+            jnp.concatenate([_row(attn_params[n]["bias"]) for n in
+                             ("query", "key", "value")], axis=1),
+        ]
+        grad_specs = (w3spec, r3spec)
+        grad_shapes = (jax.ShapeDtypeStruct((hdim, 3 * hdim), f32),
+                       jax.ShapeDtypeStruct((1, 3 * hdim), f32))
+    else:
+        weight_specs = [wspec, rspec, wspec, rspec, wspec, rspec]
+        weight_ops = [
+            wcast(attn_params["query"]), _row(attn_params["query"]["bias"]),
+            wcast(attn_params["key"]), _row(attn_params["key"]["bias"]),
+            wcast(attn_params["value"]), _row(attn_params["value"]["bias"]),
+        ]
+        grad_specs = (wspec, rspec, wspec, rspec, wspec, rspec)
+        grad_shapes = (jax.ShapeDtypeStruct((hdim, hdim), f32),
+                       jax.ShapeDtypeStruct((1, hdim), f32)) * 3
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM), xspec, xspec] \
+        + weight_specs + [wspec, rspec, rspec, bspec]
+    operands = [seed, x, dy] + weight_ops + [
+        wcast(attn_params["output"]), _row(attn_params["output"]["bias"]),
+        _row(ln["scale"]), bias2]
     if with_qkv:
         in_specs += [xspec, xspec, xspec]
         operands += list(qkv)
     out = pl.pallas_call(
         kernel, grid=(b // bb,),
         in_specs=in_specs,
-        out_specs=(xspec, xspec, xspec, wspec, rspec, wspec, rspec,
-                   wspec, rspec, rspec, rspec),
+        out_specs=(xspec, xspec, xspec) + grad_specs + (rspec, rspec),
         out_shape=(jax.ShapeDtypeStruct((b, s, hdim), dtype),
                    jax.ShapeDtypeStruct((b, s, hdim), dtype),
-                   jax.ShapeDtypeStruct((b, s, hdim), dtype),
-                   jax.ShapeDtypeStruct((hdim, hdim), f32),
-                   jax.ShapeDtypeStruct((1, hdim), f32),
-                   jax.ShapeDtypeStruct((hdim, hdim), f32),
-                   jax.ShapeDtypeStruct((1, hdim), f32),
-                   jax.ShapeDtypeStruct((hdim, hdim), f32),
-                   jax.ShapeDtypeStruct((1, hdim), f32),
-                   jax.ShapeDtypeStruct((1, hdim), f32),
-                   jax.ShapeDtypeStruct((1, hdim), f32)),
+                   jax.ShapeDtypeStruct((b, s, hdim), dtype))
+                  + grad_shapes
+                  + (jax.ShapeDtypeStruct((1, hdim), f32),
+                     jax.ShapeDtypeStruct((1, hdim), f32)),
         interpret=interpret,
         compiler_params=_TRAIN_VMEM_LIMIT,
     )(*operands)
-    (dx, ctx, dattn, dwq, dbq, dwk, dbk, dwv, dbv, dg, dbe) = out
+    if fused:
+        (dx, ctx, dattn, dw3, db3, dg, dbe) = out
+        dwq, dwk, dwv = (dw3[:, :hdim], dw3[:, hdim:2 * hdim],
+                         dw3[:, 2 * hdim:])
+        dbq, dbk, dbv = (db3[:, :hdim], db3[:, hdim:2 * hdim],
+                         db3[:, 2 * hdim:])
+    else:
+        (dx, ctx, dattn, dwq, dbq, dwk, dbk, dwv, dbv, dg, dbe) = out
     # The out-projection grads from the streamed ctx/dattn — one batched
     # XLA matmul, exactly the math the kernel would have accumulated.
     dwo = jax.lax.dot_general(

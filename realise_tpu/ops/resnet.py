@@ -50,6 +50,13 @@ def conv2d(params, x: jax.Array, stride: int = 1, padding: int = 1) -> jax.Array
     to a dense tap matmul computes the identical function — and identical
     gradients, including the zero cotangent on taps that only ever see
     padding — in a single well-shaped (N, k·C)×(k·C, k·C') contraction.
+
+    An im2col patches lowering of block1's thin-input stride-2 conv1
+    (9-tap strided-slice concat + (N·HW/4, 9C)×(9C, O) matmul) was
+    measured and REJECTED round 5: the materialized patch tensor and its
+    k=9·C=27 contraction ran block1 f+b at 65.5 ms vs the conv's 24.3
+    (full stream 117 vs 76 ms) — XLA's internal C=3 conv handling beats
+    explicit im2col at these shapes.
     """
     kernel = params["kernel"].astype(x.dtype)
     if (kernel.shape[0] == kernel.shape[1] == 3 and padding == 1
@@ -141,7 +148,13 @@ def batch_norm(
         mean, var = state["mean"], state["var"]
         new_state = state
     inv = jax.lax.rsqrt(var + BN_EPS) * params["scale"]
-    y = (x.astype(jnp.float32) - mean) * inv + params["bias"]
+    # Scale-shift form, not (x − mean)·inv + bias: same to ~1 ulp, one
+    # fused multiply-add pass over x. (A jax.checkpoint over the whole
+    # stats+normalize was tried to shrink the f32 autodiff residuals and
+    # measured SLOWER — 84.3 vs 76.0 ms on the full factorized stream;
+    # the rematerialized reductions plus lost conv/BN fusion cost more
+    # than the spills they avoid.)
+    y = x.astype(jnp.float32) * inv + (params["bias"] - mean * inv)
     return y.astype(x.dtype), new_state
 
 

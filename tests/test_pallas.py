@@ -401,3 +401,47 @@ def test_attention_train_save_qkv_bit_identical(monkeypatch):
         monkeypatch.setenv("REALISE_TPU_ATTN_SAVE_QKV", "1")
         saved = run(*rates)
         jax.tree.map(np.testing.assert_array_equal, base, saved)
+
+
+def test_attention_train_fused_qkv_matches(monkeypatch):
+    """REALISE_TPU_ATTN_FUSED_QKV=1 (q/k/v as one (rows, H)x(H, 3H) matmul
+    against the concatenated [Wq|Wk|Wv]; dx/dW as single 3H-wide matmuls in
+    the backward) computes the same function: per output column the f32
+    contraction is unchanged, so forward and every projection grad match the
+    three-dot path exactly; only dx's three-term sum becomes one wider
+    contraction (different f32 add order — allclose, not array_equal).
+    Checked with dropout off and on, and composed with SAVE_QKV."""
+    from realise_tpu.ops.bert import init_bert_layer
+    from realise_tpu.ops.pallas.bert_block_train import attention_block_train
+
+    cfg = _train_cfg()
+    layer = init_bert_layer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 8, 16)).astype(
+        jnp.bfloat16)
+    mask = jnp.ones((3, 8), jnp.int32).at[1, 5:].set(0)
+    bias = attention_bias_from_mask(mask, jnp.bfloat16)
+    seed = jnp.array([7], jnp.int32)
+
+    def run(p_rate, h_rate):
+        def loss(x, p, b):
+            return jnp.sum(attention_block_train(
+                x, p, b, seed, cfg.num_attention_heads, cfg.layer_norm_eps,
+                p_rate, h_rate, True).astype(jnp.float32))
+        y = attention_block_train(x, layer["attention"], bias, seed,
+                                  cfg.num_attention_heads,
+                                  cfg.layer_norm_eps, p_rate, h_rate, True)
+        grads = jax.grad(loss, argnums=(0, 1, 2))(x, layer["attention"],
+                                                  bias)
+        return jax.tree.map(lambda a: np.asarray(a, np.float32), (y, grads))
+
+    for save_qkv in ("0", "1"):
+        monkeypatch.setenv("REALISE_TPU_ATTN_SAVE_QKV", save_qkv)
+        for rates in ((0.0, 0.0), (0.25, 0.1)):
+            monkeypatch.setenv("REALISE_TPU_ATTN_FUSED_QKV", "0")
+            base = run(*rates)
+            monkeypatch.setenv("REALISE_TPU_ATTN_FUSED_QKV", "1")
+            fused = run(*rates)
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    a, b, rtol=2e-5, atol=2e-6),
+                base, fused)
