@@ -606,6 +606,14 @@ def _measure_train_e2e(args, result, trainer, tokenizer, feat, bs, cfg):
     featurization + a host prefetch thread + device prefetch — and this
     measurement PROVES it: ``train_e2e_ratio`` is sustained end-to-end
     sent/s over the step-only number; input-bound training would show < 1.
+
+    A ratio slightly ABOVE 1 is expected, not an anomaly: the step-only
+    headline times uniform-random full-length batches (the conv stream's
+    worst case — usually no compact program fits), while fit() here runs
+    real featurized sentences whose per-batch distinct-glyph counts let
+    the Trainer select compact batch-unique conv programs for some
+    batches. The e2e number is the honest sustained rate on data-shaped
+    input; the step lane is the honest worst-case kernel rate.
     """
     from realise_tpu.data.dataset import (
         batch_iterator,

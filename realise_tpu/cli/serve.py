@@ -2,12 +2,12 @@
 
 A stdlib ThreadingHTTPServer over :class:`realise_tpu.serving.Corrector`
 (checkpoint + precomputed-table fast path + fused block kernels on TPU) —
-the production serving surface the reference never ships. Device work is
-serialized behind a lock (one jitted program, static batch shapes); request
-threads only do featurization and JSON.
-
-Device work is serialized inside Corrector (one lock around the jitted
-step); request threads featurize, splice and build JSON concurrently.
+the production serving surface the reference never ships. Request threads
+do featurization and JSON concurrently; device steps run on a dedicated
+worker that coalesces concurrent requests sharing a length bucket into
+ONE jitted step (`serving._CrossRequestBatcher`, opportunistic — no wait
+timer, unloaded requests still see a batch of one). `--no_cross_batching`
+reverts to one serialized device step per request.
 
 Endpoints:
     GET  /healthz           → {"status": "ok", "model_type": ...}
@@ -39,6 +39,10 @@ def build_parser():
     p.add_argument("--use_pallas", action="store_true", default=None)
     p.add_argument("--no_pallas", dest="use_pallas", action="store_false")
     p.add_argument("--no_fast_path", action="store_true")
+    p.add_argument("--no_cross_batching", action="store_true",
+                   help="disable the cross-request device batcher "
+                        "(concurrent requests then serialize one device "
+                        "step each behind the device lock)")
     p.add_argument("--native_featurizer", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic vocabulary (smoke runs)")
@@ -112,7 +116,8 @@ def main(argv=None):
         batch_size=args.batch_size, use_pallas=args.use_pallas,
         fast_path=not args.no_fast_path,
         native_featurizer=args.native_featurizer,
-        synthetic_vocab=args.synthetic)
+        synthetic_vocab=args.synthetic,
+        cross_request_batching=not args.no_cross_batching)
     # Bind before the (minutes-long) warmup: a port conflict should fail
     # fast, and health checks can see the socket while buckets compile.
     server = serve(corrector, args.host, args.port)

@@ -13,9 +13,111 @@ scorer src/test.py); this is additive.
 
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
+
+
+class _CrossRequestBatcher:
+    """Coalesce concurrent requests' device calls into one jitted step.
+
+    The serving hot loop is device-lock bound under concurrency: N request
+    threads of small batches become N sequential device programs
+    (measured: 8×32-sentence threads sustain ~0.92k sent/s vs the ~3.5k
+    raw batch-256 ceiling — BENCH_SERVING.json round 5 pre-batching).
+    This batcher is *opportunistic*: a dedicated device worker drains, in
+    one go, every queued submission that shares the caller's sequence
+    bucket (up to the device batch size) and runs ONE step for the group.
+    While a step is in flight, new arrivals queue — so under load the
+    group size rises toward batch_size with **no wait timer** and the
+    unloaded case stays a batch of one (a thread handoff of overhead,
+    ~0.1 ms, instead of a latency-vs-throughput knob to mistune).
+
+    Submissions carry host arrays (featurization stays in the request
+    threads, concurrently); the worker concatenates rows, pads the group
+    to the corrector's batch bucket, and fans the prediction rows back.
+    """
+
+    def __init__(self, corrector: "Corrector"):
+        self._c = corrector
+        self._cv = threading.Condition()
+        self._pending: List[Dict] = []
+        self._closed = False
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name="serving-device-batcher")
+        self._thread.start()
+
+    def submit(self, device_arrays: Dict[str, np.ndarray], n: int,
+               seq_len: int) -> np.ndarray:
+        """Block until the group step containing these ``n`` rows ran;
+        returns this submission's (n, seq_len) prediction rows."""
+        sub = {"arrays": device_arrays, "n": n, "seq": seq_len,
+               "event": threading.Event(), "preds": None, "err": None}
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("batcher is closed")
+            self._pending.append(sub)
+            self._cv.notify()
+        sub["event"].wait()
+        if sub["err"] is not None:
+            raise sub["err"]
+        return sub["preds"]
+
+    def close(self) -> None:
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        self._thread.join()
+
+    def _take_group(self) -> List[Dict]:
+        """Under the cv: pop the head submission plus every same-bucket
+        one that still fits the device batch (FIFO — skipped buckets keep
+        their order for the next round)."""
+        cap = self._c.batch_size
+        seq = self._pending[0]["seq"]
+        group, rest, total = [], [], 0
+        for sub in self._pending:
+            if sub["seq"] == seq and total + sub["n"] <= cap:
+                group.append(sub)
+                total += sub["n"]
+            else:
+                rest.append(sub)
+        self._pending = rest
+        return group
+
+    def _run(self) -> None:
+        c = self._c
+        while True:
+            with self._cv:
+                while not self._pending and not self._closed:
+                    self._cv.wait()
+                if not self._pending:
+                    return  # closed and drained
+                group = self._take_group()
+            try:
+                total = sum(sub["n"] for sub in group)
+                rows = c._batch_bucket_for(total)
+                keys = group[0]["arrays"].keys()
+                arrays = {
+                    k: np.concatenate([sub["arrays"][k] for sub in group])
+                    for k in keys}
+                if rows > total:  # pad with copies of the last row
+                    arrays = {
+                        k: np.concatenate(
+                            [v, np.repeat(v[-1:], rows - total, axis=0)])
+                        for k, v in arrays.items()}
+                preds = c._device_step(arrays)
+                off = 0
+                for sub in group:
+                    sub["preds"] = preds[off : off + sub["n"]]
+                    off += sub["n"]
+            except Exception as e:  # pragma: no cover - propagate to callers
+                for sub in group:
+                    sub["err"] = e
+            finally:
+                for sub in group:
+                    sub["event"].set()
 
 
 class Corrector:
@@ -31,6 +133,7 @@ class Corrector:
         native_featurizer: bool = False,
         synthetic_vocab: bool = False,
         length_buckets: Sequence[int] = (32, 64, 128),
+        cross_request_batching: bool = False,
     ):
         import jax
 
@@ -103,8 +206,6 @@ class Corrector:
                 vocab_pho_lens=jax.numpy.asarray(lens),
                 cache_dir=ckpt_path)
 
-        import threading
-
         self._device_lock = threading.Lock()
 
         @jax.jit
@@ -124,9 +225,15 @@ class Corrector:
         # Batch-dim buckets: a single-sentence request computes 1 row, not
         # batch_size rows (latency engineering — the round-2 design padded
         # every request to the full batch). Same static-shape discipline:
-        # one jit specialization per (batch_bucket, seq_bucket).
+        # one jit specialization per (batch_bucket, seq_bucket). Powers of
+        # two from 8 up: with the cross-request batcher a group's total can
+        # land anywhere below the cap, and a sparse {1, 8, cap} set would
+        # pad a 3-request group of 96 rows to a 256-row program.
         self._batch_buckets = sorted(
-            {b for b in (1, 8) if b < batch_size} | {batch_size})
+            {1} | {b for b in (8, 16, 32, 64, 128) if b < batch_size}
+            | {batch_size})
+        self._batcher = (_CrossRequestBatcher(self)
+                         if cross_request_batching else None)
 
     def _bucket_for(self, sentences: Sequence[str]) -> int:
         # +2 for [CLS]/[SEP]; WordPiece can only shrink char counts for CJK.
@@ -151,6 +258,20 @@ class Corrector:
         else:
             self.correct(["好"])
 
+    def _device_step(self, device_arrays: Dict[str, np.ndarray]) -> np.ndarray:
+        """One jitted step over a bucket-shaped device batch → pred ids.
+        Serialized: concurrent HTTP request threads interleave
+        featurization and splicing but never the accelerator step."""
+        with self._device_lock:
+            return np.asarray(self._step(self.params, self.state,
+                                         device_arrays))
+
+    def close(self) -> None:
+        """Stop the cross-request batcher worker (no-op without one)."""
+        if self._batcher is not None:
+            self._batcher.close()
+            self._batcher = None
+
     def correct_batch(self, sentences: Sequence[str],
                       seq_len: Optional[int] = None) -> List[str]:
         """One device batch (≤ batch_size sentences) → corrected strings.
@@ -158,21 +279,25 @@ class Corrector:
         The device sees one static shape per (batch, length) bucket pair:
         requests are padded (repeating the last sentence) to the smallest
         batch bucket that fits, so the jit never re-specializes on the
-        request size and one sentence never pays for batch_size rows."""
+        request size and one sentence never pays for batch_size rows.
+        With ``cross_request_batching`` the padding (and the device call)
+        happens at the GROUP level instead: concurrent requests sharing a
+        sequence bucket ride one step (:class:`_CrossRequestBatcher`)."""
         n = len(sentences)
         if n == 0:
             return []
-        rows = self._batch_bucket_for(n)
-        padded = list(sentences) + [sentences[-1]] * (rows - n)
-        host = self.featurizer.featurize_raw(
-            padded, native=self.native,
-            seq_len=seq_len or self._bucket_for(sentences))
-        # One jitted program over static shapes: serialize the device call
-        # so concurrent HTTP request threads interleave featurization and
-        # splicing but never the accelerator step.
-        with self._device_lock:
-            preds = np.asarray(self._step(
-                self.params, self.state, self.featurizer.device_batch(host)))
+        seq = seq_len or self._bucket_for(sentences)
+        if self._batcher is not None:
+            host = self.featurizer.featurize_raw(
+                list(sentences), native=self.native, seq_len=seq)
+            preds = self._batcher.submit(
+                self.featurizer.device_batch(host), n, seq)
+        else:
+            rows = self._batch_bucket_for(n)
+            padded = list(sentences) + [sentences[-1]] * (rows - n)
+            host = self.featurizer.featurize_raw(
+                padded, native=self.native, seq_len=seq)
+            preds = self._device_step(self.featurizer.device_batch(host))
         host["pred_idx"] = preds
         out = []
         for i in range(n):

@@ -160,3 +160,79 @@ def test_corrector_preserves_dropped_chars(corrector):
     out2 = corrector.correct([src2])[0]
     assert len(out2) == len(src2)
     assert out2[2] == "Ω"
+
+
+def test_cross_request_batcher_matches_serial(ckpt_dir):
+    """Concurrent requests through the cross-request batcher produce
+    exactly the serial path's corrections, across mixed sizes and length
+    buckets (different buckets must not merge into one device group)."""
+    import concurrent.futures
+
+    from realise_tpu.serving import Corrector
+
+    serial = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4)
+    batched = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4,
+                        cross_request_batching=True)
+    try:
+        requests = [
+            ["我爱北京。"],
+            ["天气很好", "你好吗"],
+            ["好"],
+            ["再见了", "谢谢你", "我爱北京。"],
+            ["这是一个非常长的句子呀"],  # longer → different length bucket
+            ["短"],
+        ]
+        expect = [serial.correct(r) for r in requests]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=6) as ex:
+            got = list(ex.map(batched.correct, requests))
+        assert got == expect
+        # And again sequentially (trivial groups of one).
+        assert [batched.correct(r) for r in requests] == expect
+    finally:
+        batched.close()
+
+
+def test_cross_request_batcher_groups_share_one_step(ckpt_dir):
+    """Under concurrency the batcher really does coalesce: stall the
+    device step while submissions pile up, then count the steps."""
+    import time
+
+    from realise_tpu.serving import Corrector
+
+    c = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4,
+                  cross_request_batching=True)
+    try:
+        c.warmup()
+        calls = []
+        inner = c._device_step
+        gate = threading.Event()
+
+        def slow_step(arrays):
+            calls.append(arrays[next(iter(arrays))].shape[0])
+            gate.wait(5.0)
+            return inner(arrays)
+
+        c._device_step = slow_step
+        threads = [threading.Thread(target=c.correct, args=(["好"],))
+                   for _ in range(3)]
+        threads[0].start()
+        deadline = time.time() + 5.0
+        while not calls and time.time() < deadline:
+            time.sleep(0.001)  # first request reaches the stalled step
+        assert calls, "first request never reached the device step"
+        threads[1].start()
+        threads[2].start()
+        # Both stragglers must be queued before the gate opens.
+        deadline = time.time() + 5.0
+        while len(c._batcher._pending) < 2 and time.time() < deadline:
+            time.sleep(0.001)
+        assert len(c._batcher._pending) == 2
+        gate.set()
+        for t in threads:
+            t.join(10.0)
+        # 1 solo step + 1 group step of 2 rows (padded to bucket size 2⁺):
+        # the group's device rows must cover both stragglers in ONE call.
+        assert len(calls) == 2
+    finally:
+        c._device_step = inner
+        c.close()

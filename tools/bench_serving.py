@@ -103,11 +103,24 @@ def main():
                     help="existing checkpoint (default: build synthetic)")
     ap.add_argument("--vocab_path", default=None)
     ap.add_argument("--smoke", action="store_true", help="tiny model on CPU")
-    ap.add_argument("--batch_size", type=int, default=32)
+    ap.add_argument("--batch_size", type=int, default=32,
+                    help="sentences per load-test request")
+    ap.add_argument("--serve_batch_size", type=int, default=None,
+                    help="Corrector device-batch cap (default: 256 full / "
+                         "request size smoke) — with cross-request "
+                         "batching, concurrent requests coalesce up to "
+                         "this many rows per device step")
+    ap.add_argument("--no_cross_batching", action="store_true",
+                    help="serialize one device step per request (the "
+                         "round-5-early behavior, for A/B)")
     ap.add_argument("--latency_requests", type=int, default=200)
     ap.add_argument("--load_threads", type=int, default=8)
     ap.add_argument("--load_requests", type=int, default=20,
                     help="batch requests per client thread")
+    ap.add_argument("--single_load_threads", type=int, default=16,
+                    help="threads for the concurrent SINGLE-sentence load "
+                         "lane (latency-style traffic; 0 disables)")
+    ap.add_argument("--single_load_requests", type=int, default=50)
     ap.add_argument("--port", type=int, default=18091)
     args = ap.parse_args()
 
@@ -123,10 +136,15 @@ def main():
     if ckpt_dir is None:
         _log("building synthetic checkpoint")
         ckpt_dir, args.vocab_path = build_synthetic_ckpt(tiny=args.smoke)
-    _log("loading Corrector (tables + compile)")
+    serve_bs = args.serve_batch_size or (args.batch_size if args.smoke
+                                         else 256)
+    _log(f"loading Corrector (tables + compile), device cap {serve_bs}, "
+         f"cross-request batching "
+         f"{'OFF' if args.no_cross_batching else 'on'}")
     corrector = Corrector(ckpt_dir, vocab_path=args.vocab_path,
-                          batch_size=args.batch_size,
-                          synthetic_vocab=args.vocab_path is None)
+                          batch_size=serve_bs,
+                          synthetic_vocab=args.vocab_path is None,
+                          cross_request_batching=not args.no_cross_batching)
     corrector.warmup(all_buckets=True)
     server = serve(corrector, "127.0.0.1", args.port)
     t = threading.Thread(target=server.serve_forever, daemon=True)
@@ -173,10 +191,40 @@ def main():
     for th in threads:
         th.join()
     wall = time.perf_counter() - t0
+
+    # --- concurrent single-sentence load (latency-style traffic) ---
+    s_lat, s_done = [], []
+    s_wall = 0.0
+    if args.single_load_threads > 0:
+        _log(f"concurrent single-sentence load: {args.single_load_threads} "
+             f"threads × {args.single_load_requests} requests")
+
+        def single_client(tid):
+            r = random.Random(1000 + tid)
+            for _ in range(args.single_load_requests):
+                s = "".join(r.choice(chars) for _ in range(r.randint(8, 28)))
+                t0 = time.perf_counter()
+                _post(url, [s])
+                dt = time.perf_counter() - t0
+                with lock:
+                    s_lat.append(dt * 1e3)
+                    s_done.append(1)
+
+        t0 = time.perf_counter()
+        sthreads = [threading.Thread(target=single_client, args=(i,))
+                    for i in range(args.single_load_threads)]
+        for th in sthreads:
+            th.start()
+        for th in sthreads:
+            th.join()
+        s_wall = time.perf_counter() - t0
     server.shutdown()
+    corrector.close()
 
     result = {
         "metric": "serving HTTP latency/throughput (arch3)",
+        "serve_batch_size": serve_bs,
+        "cross_request_batching": not args.no_cross_batching,
         "single_p50_ms": round(_pct(lat, 50), 2),
         "single_p90_ms": round(_pct(lat, 90), 2),
         "single_p99_ms": round(_pct(lat, 99), 2),
@@ -187,6 +235,13 @@ def main():
         "load_request_p50_ms": round(_pct(req_lat, 50), 2),
         "load_request_p99_ms": round(_pct(req_lat, 99), 2),
     }
+    if s_done:
+        result.update({
+            "single_load_threads": args.single_load_threads,
+            "single_load_requests_per_sec": round(len(s_done) / s_wall, 1),
+            "single_load_p50_ms": round(_pct(s_lat, 50), 2),
+            "single_load_p99_ms": round(_pct(s_lat, 99), 2),
+        })
     print(json.dumps(result))
 
 
