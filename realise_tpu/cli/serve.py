@@ -43,6 +43,14 @@ def build_parser():
                    help="disable the cross-request device batcher "
                         "(concurrent requests then serialize one device "
                         "step each behind the device lock)")
+    p.add_argument("--warmup", choices=("all", "quick", "none"),
+                   default="all",
+                   help="'all' pre-compiles every (batch, length) bucket "
+                        "program before serving (minutes cold — "
+                        "batch buckets × length buckets, cached on disk "
+                        "for restarts); 'quick' compiles one bucket and "
+                        "lets the rest compile on first use (that request "
+                        "pays the compile); 'none' skips entirely")
     p.add_argument("--native_featurizer", action="store_true")
     p.add_argument("--synthetic", action="store_true",
                    help="synthetic vocabulary (smoke runs)")
@@ -121,8 +129,9 @@ def main(argv=None):
     # Bind before the (minutes-long) warmup: a port conflict should fail
     # fast, and health checks can see the socket while buckets compile.
     server = serve(corrector, args.host, args.port)
-    logger.info("warming up (jit compile, all length buckets)...")
-    corrector.warmup(all_buckets=True)
+    if args.warmup != "none":
+        logger.info("warming up (jit compile, %s buckets)...", args.warmup)
+        corrector.warmup(all_buckets=args.warmup == "all")
     logger.info("serving %s on http://%s:%d (POST /correct, GET /healthz)",
                 corrector.cfg.model_type, args.host, args.port)
     try:

@@ -73,12 +73,15 @@ class _CrossRequestBatcher:
     def _take_group(self) -> List[Dict]:
         """Under the cv: pop the head submission plus every same-bucket
         one that still fits the device batch (FIFO — skipped buckets keep
-        their order for the next round)."""
+        their order for the next round). The head is taken even when it
+        alone exceeds the cap (a direct correct_batch() call larger than
+        batch_size): it then rides solo at its own row count."""
         cap = self._c.batch_size
         seq = self._pending[0]["seq"]
         group, rest, total = [], [], 0
         for sub in self._pending:
-            if sub["seq"] == seq and total + sub["n"] <= cap:
+            if not group or (sub["seq"] == seq
+                             and total + sub["n"] <= cap):
                 group.append(sub)
                 total += sub["n"]
             else:
@@ -97,7 +100,9 @@ class _CrossRequestBatcher:
                 group = self._take_group()
             try:
                 total = sum(sub["n"] for sub in group)
-                rows = c._batch_bucket_for(total)
+                # An oversize solo submission exceeds every bucket: run it
+                # at its own row count rather than truncating.
+                rows = max(c._batch_bucket_for(total), total)
                 keys = group[0]["arrays"].keys()
                 arrays = {
                     k: np.concatenate([sub["arrays"][k] for sub in group])

@@ -236,3 +236,19 @@ def test_cross_request_batcher_groups_share_one_step(ckpt_dir):
     finally:
         c._device_step = inner
         c.close()
+
+
+def test_cross_request_batcher_oversize_direct_call(ckpt_dir):
+    """A direct correct_batch() call larger than the device cap rides solo
+    at its own row count (no truncation, no empty-group stall)."""
+    from realise_tpu.serving import Corrector
+
+    c = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4,
+                  cross_request_batching=True)
+    try:
+        sents = ["我爱北京。", "天气很好", "你好吗", "好", "再见了", "谢谢你"]
+        out = c.correct_batch(sents)  # 6 > batch_size 4
+        assert len(out) == 6
+        assert [len(s) for s in out] == [len(s) for s in sents]
+    finally:
+        c.close()
