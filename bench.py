@@ -376,7 +376,8 @@ def main():
 
     # --- training step ---
     if trainer is not None:
-        _measure_train(args, result, trainer, batch, bs, cfg_full, peak)
+        trainer = _measure_train(args, result, trainer, batch, bs,
+                                 cfg_full, peak)
         if not args.smoke:
             _measure_train_realistic(args, result, trainer, tokenizer,
                                      feat, bs, cfg_full, peak)
@@ -497,8 +498,10 @@ def _measure_train(args, result, trainer, batch, bs, cfg_full, peak):
     full-table executable (`train_full_table_*`, the r1-r4 headline
     definition, for cross-round comparability) and a realistic
     Zipf-distributed text batch (`train_realistic_*`) where the
-    batch-unique conv factorization actually engages — the uniform draw
-    touches ~87% of the glyph table, which no compact program covers."""
+    batch-unique conv factorization actually engages — a 32768-token
+    uniform draw touches 1−e^(−32768/rows) of the glyph table (~99% of
+    the realistic 7.7k-row dedup table, ~79% of the legacy 21k one),
+    which no compact program covers."""
     import jax
     import numpy as np
 
@@ -507,7 +510,8 @@ def _measure_train(args, result, trainer, batch, bs, cfg_full, peak):
     step_arr = jax.numpy.asarray(0, jax.numpy.int32)
     lr_arr = jax.numpy.asarray(5e-5, jax.numpy.float32)
     dbatch = {k: v
-              for k, v in trainer._put_batch(dict(host_batch)).items()
+              for k, v in trainer._put_batch(dict(host_batch),
+                                             train=False).items()
               if k != "_conv_rows_max"}
     if args.use_pallas:
         # Guard the driver artifact: if the custom-VJP kernels fail to
@@ -566,6 +570,9 @@ def _measure_train(args, result, trainer, batch, bs, cfg_full, peak):
     _log(f"train (dispatch path, conv program: "
          f"{conv_slots or 'full table'}): {bs / tsec:.1f} sent/s "
          f"({tsec * 1e3:.1f} ms/step), MFU {train_mfu:.1%}")
+    # The pallas-compile fallback above may have replaced the trainer —
+    # return it so the realistic/e2e lanes run the same (working) one.
+    return trainer
 
 
 def _measure_train_realistic(args, result, trainer, tokenizer, feat, bs,

@@ -172,9 +172,11 @@ def synthetic_dataset(
         def pick(_cjk=cjk, _buf=buf):
             if not _buf:
                 # Inverse-CDF in bulk: np.random.choice(p=...) rebuilds the
-                # cumsum per call, O(V) per draw.
-                _buf.extend(np.searchsorted(
-                    cdf, npr.random_sample(4096)).tolist())
+                # cumsum per call, O(V) per draw. Clamp: fp normalization
+                # can leave cdf[-1] a ulp under 1.0, and a draw landing in
+                # that sliver would index past the end.
+                idx = np.searchsorted(cdf, npr.random_sample(4096))
+                _buf.extend(np.minimum(idx, len(_cjk) - 1).tolist())
             return _cjk[_buf.pop()]
     elif char_dist == "uniform":
         # NOTE: keep this branch's random-stream consumption EXACTLY as it

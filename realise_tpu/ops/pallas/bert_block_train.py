@@ -67,15 +67,18 @@ _TRAIN_VMEM_LIMIT = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
 
 
 def _train_block_b(b: int, per_ex_bytes: int, budget: int = 24 * 2**20,
-                   cap: int = 2) -> int:
+                   cap: int = 4) -> int:
     """Examples folded into one grid step (the serving kernels' block_b,
     bert_block.py:78-93): the projections and FFN matmuls then run at
-    (block_b·S, H) instead of (S, H). Swept on v5e at the production shape
-    (B=256, S=128, H=768): block_b=2 wins on every train kernel; 4+ loses
-    it back to VMEM pressure (attn f+b 4.88 ms at 2 vs 5.76 at 4), so the
-    cap defaults to 2. Largest power of two dividing ``b`` whose
-    per-example working set fits the budget. REALISE_TPU_TRAIN_BB_CAP
-    overrides the cap for on-device sweeps (tools/bench_kernels.py)."""
+    (block_b·S, H) instead of (S, H). Swept on v5e at the production
+    shape (B=256, S=128, H=768): the round-4 sweep picked cap=2 (attn
+    f+b 4.88 ms at 2 vs 5.76 at an earlier 4-cap build); re-swept round 5
+    after the conv stream shrank, cap=4 wins end-to-end — train 798.1 →
+    804.9 sent/s with REALISE_TPU_DROPOUT_SAMPLES=2 (bit-exact per
+    example either way: masks and row contractions are block_b-
+    independent). Largest power of two dividing ``b`` whose per-example
+    working set fits the budget. REALISE_TPU_TRAIN_BB_CAP overrides the
+    cap for on-device sweeps (tools/bench_kernels.py)."""
     cap = int(os.environ.get("REALISE_TPU_TRAIN_BB_CAP", cap))
     for cand in (cap, cap // 2, cap // 4, 4, 2, 1):
         if cand >= 1 and b % cand == 0 and cand * per_ex_bytes <= budget:
@@ -112,19 +115,20 @@ def _site_base(seed, site: int, example, head: int = 0):
     return _mix(s)
 
 
-# Bernoulli samples drawn per 32-bit hash. '1' (default): 24-bit threshold,
-# one sample per hash — the round-2 stream, which the committed golden
-# trajectories pin. '2': two independent 16-bit samples per hash (left
-# column half = low bits, right = high), halving the mask-hash VPU work.
+# Bernoulli samples drawn per 32-bit hash. '1': 24-bit threshold, one
+# sample per hash — the round-2 stream. '2' (default since round 5): two
+# independent 16-bit samples per hash (left column half = low bits, right
+# = high), halving the mask-hash VPU work where cols % 256 == 0 (the
+# production hidden/FFN sites; S=128 probs masks stay on the '1' path).
 # Keep-probability granularity 2^-16 (|realized − requested| ≤ 2e-5 at
-# keep=0.9). Both streams replay bit-identically forward/backward; golden
-# trajectories must be regenerated if the default flips. MEASURED (v5e,
-# bench.py --train-only): 678.3 vs 675.9 sent/s — within noise, because
-# the attention-backward dedupe already removed the duplicated mask pass
-# and Mosaic overlaps the remaining hashes with the MXU; kept as an
-# opt-in knob only, the default stays '1'.
+# keep=0.9). Both streams replay bit-identically forward/backward. The
+# round-3 measurement was a wash (678.3 vs 675.9 sent/s — conv-dominated
+# step); re-measured round 5 after the conv stream shrank it wins with
+# the cap-4 block_b: 798.1 → 804.9 sent/s combined, reproduced twice.
+# The committed golden trajectories run tiny widths (cols % 256 != 0
+# everywhere), so they pin the SAME masks under either default.
 def _samples_per_hash() -> int:
-    return int(os.environ.get("REALISE_TPU_DROPOUT_SAMPLES", "1"))
+    return int(os.environ.get("REALISE_TPU_DROPOUT_SAMPLES", "2"))
 
 
 def _keep_mask(base, rows: int, cols: int, keep: float):

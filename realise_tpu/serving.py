@@ -255,13 +255,24 @@ class Corrector:
         return self._batch_buckets[-1]
 
     def warmup(self, all_buckets: bool = False) -> None:
-        """Trigger the jit compile so the first request is fast."""
-        if all_buckets:
-            for b in self._buckets:
-                for n in self._batch_buckets:
-                    self.correct_batch(["好" * min(b - 2, 4)] * n, seq_len=b)
-        else:
-            self.correct(["好"])
+        """Trigger the jit compile so the first request is fast.
+
+        Bypasses the cross-request batcher: live requests arriving during
+        a minutes-long warmup (the daemon binds its socket first) would
+        otherwise merge into warmup groups and bump them to a LARGER
+        batch bucket, silently leaving some (batch, length) programs
+        uncompiled despite ``all_buckets``."""
+        batcher, self._batcher = self._batcher, None
+        try:
+            if all_buckets:
+                for b in self._buckets:
+                    for n in self._batch_buckets:
+                        self.correct_batch(["好" * min(b - 2, 4)] * n,
+                                           seq_len=b)
+            else:
+                self.correct(["好"])
+        finally:
+            self._batcher = batcher
 
     def _device_step(self, device_arrays: Dict[str, np.ndarray]) -> np.ndarray:
         """One jitted step over a bucket-shaped device batch → pred ids.
@@ -292,10 +303,11 @@ class Corrector:
         if n == 0:
             return []
         seq = seq_len or self._bucket_for(sentences)
-        if self._batcher is not None:
+        batcher = self._batcher  # snapshot: warmup/close may null the attr
+        if batcher is not None:
             host = self.featurizer.featurize_raw(
                 list(sentences), native=self.native, seq_len=seq)
-            preds = self._batcher.submit(
+            preds = batcher.submit(
                 self.featurizer.device_batch(host), n, seq)
         else:
             rows = self._batch_bucket_for(n)

@@ -118,7 +118,8 @@ def main():
              f"slots): timing only, equivalence skipped")
 
     g = jax.jit(lambda uniq: jnp.take(imgs, uniq, axis=0))
-    add("row gather (slots, 3072) bf16", time_fn(lambda: g(f1(ids)[0]),
+    uniq_rows = f1(ids)[0]  # computed once: time the gather in isolation
+    add("row gather (slots, 3072) bf16", time_fn(lambda: g(uniq_rows),
                                                  args.iters))
 
     # The per-step total of the shipped machinery (unique+scatter+gather).
