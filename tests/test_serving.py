@@ -252,3 +252,42 @@ def test_cross_request_batcher_oversize_direct_call(ckpt_dir):
         assert [len(s) for s in out] == [len(s) for s in sents]
     finally:
         c.close()
+
+
+def test_http_server_with_cross_batching(ckpt_dir):
+    """The HTTP daemon over a batching Corrector: concurrent POSTs are
+    answered correctly (and identically to each other for identical
+    bodies) while the batcher coalesces their device work."""
+    import concurrent.futures
+
+    import portpicker
+
+    from realise_tpu.cli.serve import serve
+    from realise_tpu.serving import Corrector
+
+    c = Corrector(ckpt_dir, synthetic_vocab=True, batch_size=4,
+                  cross_request_batching=True)
+    port = portpicker.pick_unused_port()
+    server = serve(c, "127.0.0.1", port)
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(sentences):
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+            conn.request("POST", "/correct",
+                         body=json.dumps({"sentences": sentences}))
+            return json.loads(conn.getresponse().read())
+
+        bodies = [["我爱北京。"], ["你好吗"], ["我爱北京。"], ["天气很好", "好"]]
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            results = list(ex.map(post, bodies))
+        for body, resp in zip(bodies, results):
+            assert [r["input"] for r in resp["results"]] == body
+            for r in resp["results"]:
+                assert len(r["corrected"]) == len(r["input"])
+        # identical inputs → identical outputs through the group path
+        assert results[0] == results[2]
+    finally:
+        server.shutdown()
+        server.server_close()
+        c.close()
