@@ -216,13 +216,14 @@ def main(argv=None):
     training_args = {k: v for k, v in vars(args).items()}
 
     def save_fn(step, ts):
-        # Process-0 gating, the reference's rank-0 checkpointing
-        # (run.py:223-230); other processes still synchronize on the step.
-        if not is_main_process():
-            return
+        # EVERY process calls: the host gather inside save_checkpoint is a
+        # collective on multi-host meshes (gating it to process 0 would
+        # deadlock the allgather). The function itself implements the
+        # reference's rank-0 file writes (run.py:223-230) + an end barrier.
         save_checkpoint(args.output_dir, step, ts.params, ts.state,
                         ts.opt_state, cfg=cfg, training_args=training_args)
-        logger.info("saved checkpoint at step %d", step)
+        if is_main_process():
+            logger.info("saved checkpoint at step %d", step)
 
     if args.do_train:
         logger.info("training: %d examples, batch %d, %d total steps",

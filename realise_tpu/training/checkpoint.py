@@ -42,9 +42,17 @@ def save_checkpoint(
     cfg: Optional[RealiseConfig] = None,
     training_args: Optional[Dict[str, Any]] = None,
 ) -> str:
-    """Write ``{directory}/saved_ckpt-{step}``; returns the checkpoint dir."""
+    """Write ``{directory}/saved_ckpt-{step}``; returns the checkpoint dir.
+
+    Multi-process contract (``jax.process_count() > 1``): EVERY process
+    must call this — the host gather below is a collective — but the
+    files are written by process 0 only (the reference's rank-0
+    checkpointing, run.py:223-230), with an end barrier so other
+    processes only proceed (e.g. to restore or score the checkpoint)
+    once the write is complete. Non-main callers get the same path back;
+    on a shared filesystem it is immediately readable everywhere.
+    """
     ckpt_dir = os.path.join(os.path.abspath(directory), f"{CKPT_PREFIX}{step}")
-    os.makedirs(ckpt_dir, exist_ok=True)
     tree = {"params": params, "state": state, "step": step}
     if opt_state is not None:
         tree["opt_state"] = opt_state
@@ -62,16 +70,41 @@ def save_checkpoint(
         return np.asarray(x)
 
     tree = jax.tree.map(_to_host, tree)
-    path = os.path.join(ckpt_dir, "ckpt")
-    if os.path.exists(path):
-        shutil.rmtree(path)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, tree)
-    if cfg is not None:
-        cfg.save(ckpt_dir)
-    if training_args is not None:
-        with open(os.path.join(ckpt_dir, "training_args.json"), "w") as f:
-            json.dump(training_args, f, indent=2, sort_keys=True, default=str)
+    multi = jax.process_count() > 1
+    if not multi or jax.process_index() == 0:
+        os.makedirs(ckpt_dir, exist_ok=True)
+        path = os.path.join(ckpt_dir, "ckpt")
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        # Multi-process: the tree is plain host numpy by now, so the (sole)
+        # writer must run orbax with its barriers restricted to itself
+        # (active_processes={0}) — the stock checkpointer's save would
+        # wait on 'Checkpointer:save_start' barriers the non-writing
+        # processes never enter. Single-process keeps the stock
+        # checkpointer (the golden-layout test pins it); the handler args
+        # below are exactly PyTreeCheckpointer's, so the on-disk layout is
+        # identical either way.
+        if multi:
+            ckptr = ocp.Checkpointer(
+                ocp.PyTreeCheckpointHandler(use_ocdbt=True, use_zarr3=False),
+                multiprocessing_options=ocp.options.MultiprocessingOptions(
+                    primary_host=0, active_processes={0}))
+        else:
+            ckptr = ocp.PyTreeCheckpointer()
+        with ckptr:
+            ckptr.save(path, tree)
+        if cfg is not None:
+            cfg.save(ckpt_dir)
+        if training_args is not None:
+            with open(os.path.join(ckpt_dir, "training_args.json"),
+                      "w") as f:
+                json.dump(training_args, f, indent=2, sort_keys=True,
+                          default=str)
+    if multi:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(
+            f"realise_tpu_save_checkpoint_{step}")
     return ckpt_dir
 
 

@@ -91,17 +91,19 @@ _WORKER = textwrap.dedent("""
 
     # Checkpoint save under the multi-process mesh: arrays are NOT fully
     # addressable here, so save_checkpoint must take the process_allgather
-    # branch (checkpoint.py _to_host). Each process writes its own dir
-    # (the allgather is collective; the file writes must not race).
-    import tempfile
-
+    # branch (checkpoint.py _to_host). The call is COLLECTIVE — every
+    # process makes it, with one shared directory (the single-host stand-in
+    # for a shared filesystem); process 0 writes, the end barrier inside
+    # save_checkpoint makes the files visible to process 1 before its
+    # load below.
     import numpy as np
     from realise_tpu.training.checkpoint import (load_checkpoint,
                                                  save_checkpoint)
 
     ts = tr.train_state
     assert not ts.params["head"]["bias"].is_fully_addressable
-    d = save_checkpoint(tempfile.mkdtemp(), 1, ts.params, ts.state, cfg=cfg)
+    d = save_checkpoint(f"/tmp/realise_2proc_ckpt_{port}", 1,
+                        ts.params, ts.state, cfg=cfg)
     restored = load_checkpoint(d)
     want = np.asarray(ts.params["head"]["bias"].addressable_data(0))
     got = np.asarray(restored["params"]["head"]["bias"])
