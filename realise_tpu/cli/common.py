@@ -274,8 +274,12 @@ def evaluate_model(
             row0 = 0
         # Padded rows repeat real examples; zero their loss positions so the
         # device-side loss (sum/count) covers REAL tokens only — otherwise
-        # the final short batch's mean is dominated by the duplicated row.
-        if n < batch_size:
+        # the padded rows' duplicates skew the mean. Unconditional: besides
+        # the final short batch (n < batch_size), local_slice pads FULL
+        # batches too whenever process_count does not divide batch_size,
+        # and those extra global rows (≥ n == batch_size) must be zeroed
+        # as well.
+        if n < row0 + feed["loss_masks"].shape[0]:
             feed = dict(feed)
             lm = np.array(feed["loss_masks"], copy=True)
             cut = max(0, min(n - row0, lm.shape[0]))

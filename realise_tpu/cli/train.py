@@ -80,7 +80,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--save_steps", type=int, default=1000)
     p.add_argument("--order_metric", default="sent-detect-f1")
-    p.add_argument("--metric_reverse", action="store_true", default=True)
+    # BooleanOptionalAction: the reference's plain store_true
+    # (run.py:323) paired with its avg_loss default; our default metric
+    # is sent-detect-f1 (higher better), so reverse defaults True and
+    # --no-metric_reverse selects lower-is-better ordering (a bare
+    # store_true with default=True could never be turned off — the
+    # top-k retention would keep the WORST checkpoints for loss
+    # metrics).
+    p.add_argument("--metric_reverse", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--num_save_ckpts", type=int, default=5)
     p.add_argument("--remove_unused_ckpts", action="store_true")
     p.add_argument("--length_buckets", default=None,
@@ -310,10 +318,19 @@ def main(argv=None):
             score = res[args.order_metric]
             scored.append((ckpt_dir, score))
         if scored and args.remove_unused_ckpts:
-            retain_top_k(scored, args.num_save_ckpts,
-                         reverse=args.metric_reverse)
-        write_json(os.path.join(args.output_dir, "dev_results.json"),
-                   all_results)
+            # Rank-0 deletes (every process computed the identical scores);
+            # the barrier keeps other processes from listing/loading a
+            # checkpoint mid-deletion below.
+            if is_main_process():
+                retain_top_k(scored, args.num_save_ckpts,
+                             reverse=args.metric_reverse)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                multihost_utils.sync_global_devices("realise_retain_top_k")
+        if is_main_process():
+            write_json(os.path.join(args.output_dir, "dev_results.json"),
+                       all_results)
         if scored:
             best = max(scored, key=lambda t: t[1]) if args.metric_reverse \
                 else min(scored, key=lambda t: t[1])
@@ -352,7 +369,9 @@ def main(argv=None):
                              batch_size=args.eval_batch_size,
                              label_path=label)
         logger.info("predict: %s", res)
-        write_json(os.path.join(args.output_dir, "predict_results.json"), res)
+        if is_main_process():
+            write_json(os.path.join(args.output_dir,
+                                    "predict_results.json"), res)
 
     return 0
 

@@ -111,6 +111,45 @@ def local_slice(items: Sequence, index: Optional[int] = None,
     return padded[index * share : (index + 1) * share]
 
 
+_ROW_OWNERSHIP_OK = set()  # (mesh axes+shape, global rows) already validated
+
+
+def _check_contiguous_rows(sharding, global_shape, local_rows: int,
+                           key: str) -> None:
+    """Validate the documented local_slice contract: this process's devices
+    own exactly the contiguous global rows [p·share, (p+1)·share).
+
+    That holds for data-parallel meshes with ``data`` as the outermost
+    axis (the supported multi-process layout). Anything else — no data
+    axis (batch replicated: every process would need the FULL batch, but
+    local_slice fed it a shard), or data inner to another axis (each
+    process spans all data coordinates) — would silently mis-place rows;
+    raise the configuration error instead."""
+    mesh = sharding.mesh
+    memo = (tuple(mesh.axis_names), tuple(mesh.devices.shape), global_shape)
+    if memo in _ROW_OWNERSHIP_OK:
+        return
+    owned = set()
+    for sl in sharding.addressable_devices_indices_map(global_shape).values():
+        r = sl[0] if sl else slice(None)
+        start, stop, step = r.indices(global_shape[0])
+        if step != 1:
+            raise ValueError(f"strided row ownership for batch key {key!r}")
+        owned.update(range(start, stop))
+    p = process_index()
+    expect = set(range(p * local_rows, (p + 1) * local_rows))
+    if owned != expect:
+        raise ValueError(
+            f"multi-process batch key {key!r}: this process's devices own "
+            f"global rows {sorted(owned)[:4]}..[{len(owned)}] but "
+            f"local_slice fed rows {p * local_rows}..{(p + 1) * local_rows}."
+            f" Multi-process runs need a 'data' mesh axis as the OUTERMOST "
+            f"axis (e.g. --mesh data={process_count()}, or "
+            f"--mesh data=N,model=M — data first) so each process owns a "
+            f"contiguous leading block of the batch.")
+    _ROW_OWNERSHIP_OK.add(memo)
+
+
 def make_global_batch(local_arrays: Dict[str, np.ndarray], mesh,
                       batch_sharding_fn) -> Dict:
     """Assemble per-process local batch arrays into global device arrays.
@@ -126,10 +165,20 @@ def make_global_batch(local_arrays: Dict[str, np.ndarray], mesh,
                               batch_sharding_fn(local_arrays, mesh))
 
     global_arrays = {}
+    shardings = batch_sharding_fn(local_arrays, mesh)
     for k, v in local_arrays.items():
         v = np.asarray(v)
+        sharding = shardings[k]
+        if v.ndim == 0:
+            # Scalar side-channels (e.g. _conv_rows_max) are replicated
+            # and identical on every process: global shape == local shape
+            # is the documented "data must be the same across all hosts"
+            # mode of make_array_from_process_local_data.
+            global_arrays[k] = jax.make_array_from_process_local_data(
+                sharding, v, v.shape)
+            continue
         global_shape = (v.shape[0] * process_count(),) + v.shape[1:]
-        sharding = batch_sharding_fn({k: v}, mesh)[k]
+        _check_contiguous_rows(sharding, global_shape, v.shape[0], k)
         global_arrays[k] = jax.make_array_from_process_local_data(
             sharding, v, global_shape)
     return global_arrays

@@ -71,40 +71,60 @@ def save_checkpoint(
 
     tree = jax.tree.map(_to_host, tree)
     multi = jax.process_count() > 1
+    ok, err = True, None
     if not multi or jax.process_index() == 0:
-        os.makedirs(ckpt_dir, exist_ok=True)
-        path = os.path.join(ckpt_dir, "ckpt")
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        # Multi-process: the tree is plain host numpy by now, so the (sole)
-        # writer must run orbax with its barriers restricted to itself
-        # (active_processes={0}) — the stock checkpointer's save would
-        # wait on 'Checkpointer:save_start' barriers the non-writing
-        # processes never enter. Single-process keeps the stock
-        # checkpointer (the golden-layout test pins it); the handler args
-        # below are exactly PyTreeCheckpointer's, so the on-disk layout is
-        # identical either way.
-        if multi:
-            ckptr = ocp.Checkpointer(
-                ocp.PyTreeCheckpointHandler(use_ocdbt=True, use_zarr3=False),
-                multiprocessing_options=ocp.options.MultiprocessingOptions(
-                    primary_host=0, active_processes={0}))
-        else:
-            ckptr = ocp.PyTreeCheckpointer()
-        with ckptr:
-            ckptr.save(path, tree)
-        if cfg is not None:
-            cfg.save(ckpt_dir)
-        if training_args is not None:
-            with open(os.path.join(ckpt_dir, "training_args.json"),
-                      "w") as f:
-                json.dump(training_args, f, indent=2, sort_keys=True,
-                          default=str)
+        try:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            path = os.path.join(ckpt_dir, "ckpt")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            # Multi-process: the tree is plain host numpy by now, so the
+            # (sole) writer must run orbax with its barriers restricted to
+            # itself (active_processes={0}) — the stock checkpointer's save
+            # would wait on 'Checkpointer:save_start' barriers the
+            # non-writing processes never enter. Single-process keeps the
+            # stock checkpointer (the golden-layout test pins it); the
+            # handler args below are exactly PyTreeCheckpointer's
+            # constructor defaults, so the on-disk layout is identical
+            # either way.
+            if multi:
+                ckptr = ocp.Checkpointer(
+                    ocp.PyTreeCheckpointHandler(use_ocdbt=True,
+                                                use_zarr3=False),
+                    multiprocessing_options=(
+                        ocp.options.MultiprocessingOptions(
+                            primary_host=0, active_processes={0})))
+            else:
+                ckptr = ocp.PyTreeCheckpointer()
+            with ckptr:
+                ckptr.save(path, tree)
+            if cfg is not None:
+                cfg.save(ckpt_dir)
+            if training_args is not None:
+                with open(os.path.join(ckpt_dir, "training_args.json"),
+                          "w") as f:
+                    json.dump(training_args, f, indent=2, sort_keys=True,
+                              default=str)
+        except Exception as e:
+            # Multi-process: the write failure must still reach the
+            # broadcast below, or every other process hangs in it forever
+            # (disk-full on the writer wedging the whole pod).
+            if not multi:
+                raise
+            ok, err = False, e
     if multi:
         from jax.experimental import multihost_utils
 
-        multihost_utils.sync_global_devices(
-            f"realise_tpu_save_checkpoint_{step}")
+        # Doubles as the end barrier: no process proceeds (e.g. to restore
+        # or score the checkpoint) until the write finished — and every
+        # process learns whether it SUCCEEDED.
+        ok = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(ok, np.int32)))
+        if not ok:
+            raise RuntimeError(
+                f"checkpoint write failed on process 0 at {ckpt_dir}"
+                + (f": {err!r}" if err is not None else
+                   " (see process 0's log)"))
     return ckpt_dir
 
 
