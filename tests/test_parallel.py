@@ -160,3 +160,30 @@ def test_two_process_training_step(tmp_path):
     assert np.isfinite(results[0][0])
     # Rank-0 gating.
     assert results[0][1] == "main=1" and results[1][1] == "main=0"
+
+
+def test_row_ownership_validation_rejects_bad_meshes():
+    """_check_contiguous_rows raises a clear configuration error when this
+    process's devices do not own the contiguous rows local_slice fed it —
+    the silent-corruption cases are a replicated batch spec (no 'data'
+    axis) and a data axis inner to another axis."""
+    import numpy as np
+    import pytest as _pytest
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from realise_tpu.parallel.distributed import _check_contiguous_rows
+    from realise_tpu.parallel.mesh import make_mesh
+
+    # Pretend this single process were 1 of 2: its 8 devices owning ALL
+    # 8 global rows mismatches a claimed local share of 4.
+    mesh = make_mesh({"data": 8})
+    sh = NamedSharding(mesh, P("data"))
+    with _pytest.raises(ValueError, match="data.*OUTERMOST|outermost|own"):
+        _check_contiguous_rows(sh, (8, 4), 4, "src_idx")
+    # Replicated spec (model-only mesh): every device owns every row.
+    mesh2 = make_mesh({"model": 8})
+    sh2 = NamedSharding(mesh2, P())
+    with _pytest.raises(ValueError):
+        _check_contiguous_rows(sh2, (8, 4), 4, "src_idx")
+    # The honest single-process case (local == global) passes.
+    _check_contiguous_rows(sh, (8, 4), 8, "src_idx")
