@@ -24,23 +24,29 @@
 namespace {
 
 // ---------------------------------------------------------------- UTF-8
-// Decode UTF-8 into codepoints; invalid bytes become U+FFFD.
+// Decode UTF-8 into codepoints; malformed bytes (bad lead, missing or
+// invalid continuation) become U+FFFD consuming ONE byte, so a stray
+// 0xC3 before a valid 'A' never swallows the 'A' (the Python codec's
+// 'replace' behavior the fallback path exhibits).
 std::vector<uint32_t> decode_utf8(const char* s, std::vector<std::string>* chars) {
   std::vector<uint32_t> cps;
   size_t i = 0, n = std::strlen(s);
+  auto cont = [&](size_t k) {
+    return k < n && ((unsigned char)s[k] & 0xC0) == 0x80;
+  };
   while (i < n) {
     unsigned char c = s[i];
     uint32_t cp = 0xFFFD;
     size_t len = 1;
     if (c < 0x80) {
       cp = c;
-    } else if ((c >> 5) == 0x6 && i + 1 < n) {
+    } else if ((c >> 5) == 0x6 && cont(i + 1)) {
       cp = ((c & 0x1F) << 6) | (s[i + 1] & 0x3F);
       len = 2;
-    } else if ((c >> 4) == 0xE && i + 2 < n) {
+    } else if ((c >> 4) == 0xE && cont(i + 1) && cont(i + 2)) {
       cp = ((c & 0x0F) << 12) | ((s[i + 1] & 0x3F) << 6) | (s[i + 2] & 0x3F);
       len = 3;
-    } else if ((c >> 3) == 0x1E && i + 3 < n) {
+    } else if ((c >> 3) == 0x1E && cont(i + 1) && cont(i + 2) && cont(i + 3)) {
       cp = ((c & 0x07) << 18) | ((s[i + 1] & 0x3F) << 12) |
            ((s[i + 2] & 0x3F) << 6) | (s[i + 3] & 0x3F);
       len = 4;
@@ -94,15 +100,43 @@ bool is_control(uint32_t cp) {
 }
 
 bool is_punct(uint32_t cp) {
+  // Mirrors tokenizer.py _is_punctuation: the BERT ASCII ranges plus
+  // Unicode category P*. The block ranges below carve out their non-P
+  // members (verified against unicodedata per codepoint): symbols like
+  // 〇 U+3007 (Nl), 々 U+3005 (Lm), fullwidth ＋＜＝＞＾｀｜～ (S*),
+  // ⁄ U+2044 / ⁒ U+2052 (Sm), and the Zl/Zp line separators must NOT
+  // split as punctuation — the Python path keeps them inside words.
   if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
       (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126))
     return true;
-  // General-punctuation / CJK-symbol / fullwidth-form blocks.
-  return (cp >= 0x2000 && cp <= 0x206F && !is_space(cp)) ||
-         (cp >= 0x3000 && cp <= 0x303F && cp != 0x3000) ||
-         (cp >= 0xFF00 && cp <= 0xFF0F) || (cp >= 0xFF1A && cp <= 0xFF20) ||
-         (cp >= 0xFF3B && cp <= 0xFF40) || (cp >= 0xFF5B && cp <= 0xFF65) ||
-         (cp >= 0xFE30 && cp <= 0xFE4F);
+  // Latin-1 P*: ¡ § « ¶ · » ¿
+  if (cp == 0xA1 || cp == 0xA7 || cp == 0xAB || cp == 0xB6 || cp == 0xB7 ||
+      cp == 0xBB || cp == 0xBF)
+    return true;
+  if (cp >= 0x2000 && cp <= 0x206F) {
+    if (is_space(cp)) return false;
+    // Cf format chars (stripped upstream anyway), Zl/Zp, ⁄ ⁒.
+    if ((cp >= 0x200B && cp <= 0x200F) || (cp >= 0x2028 && cp <= 0x202E) ||
+        cp == 0x2044 || cp == 0x2052 || cp >= 0x2060)
+      return false;
+    return true;
+  }
+  if (cp >= 0x3001 && cp <= 0x303F) {
+    if ((cp >= 0x3004 && cp <= 0x3007) || (cp >= 0x3012 && cp <= 0x3013) ||
+        (cp >= 0x3020 && cp <= 0x302F) || (cp >= 0x3031 && cp <= 0x303C) ||
+        cp >= 0x303E)
+      return false;
+    return true;
+  }
+  if (cp >= 0xFF00 && cp <= 0xFF65) {
+    if (cp == 0xFF00 || cp == 0xFF04 || cp == 0xFF0B ||
+        (cp >= 0xFF1C && cp <= 0xFF1E) || cp == 0xFF3E || cp == 0xFF40 ||
+        cp == 0xFF5C || cp == 0xFF5E)
+      return false;
+    return (cp <= 0xFF0F) || (cp >= 0xFF1A && cp <= 0xFF20) ||
+           (cp >= 0xFF3B && cp <= 0xFF40) || (cp >= 0xFF5B);
+  }
+  return cp >= 0xFE30 && cp <= 0xFE4F;
 }
 
 uint32_t to_lower(uint32_t cp) {
@@ -116,6 +150,7 @@ struct Featurizer {
   std::unordered_map<std::string, int32_t> vocab;
   int32_t unk_id = 0, cls_id = 0, sep_id = 0;
   int max_input_chars_per_word = 100;
+  bool do_lower = true;
 
   bool load_ok = false;
 
@@ -126,16 +161,21 @@ struct Featurizer {
     int32_t idx = 0;
     while (std::getline(f, line)) {
       if (!line.empty() && line.back() == '\r') line.pop_back();
-      vocab.emplace(line, idx++);
+      // operator[]: last occurrence wins for duplicated lines, matching
+      // the Python loader's dict assignment (tokenizer.py load_vocab).
+      vocab[line] = idx++;
     }
-    load_ok = !vocab.empty();
     auto get = [&](const char* t) {
       auto it = vocab.find(t);
-      return it == vocab.end() ? 0 : it->second;
+      return it == vocab.end() ? (int32_t)-1 : it->second;
     };
     unk_id = get("[UNK]");
     cls_id = get("[CLS]");
     sep_id = get("[SEP]");
+    // A vocab without the specials must fail fast (rtf_create -> NULL),
+    // not silently emit id 0 for every un-tokenizable word — the Python
+    // path raises KeyError on first use.
+    load_ok = !vocab.empty() && unk_id >= 0 && cls_id >= 0 && sep_id >= 0;
   }
 
   // Basic tokenization: cleanup + CJK/punct splitting + lowercase.
@@ -156,7 +196,7 @@ struct Featurizer {
         flush();
         continue;
       }
-      cp = to_lower(cp);
+      if (do_lower) cp = to_lower(cp);
       if (is_cjk(cp) || is_punct(cp)) {
         flush();
         words->push_back(encode_utf8(cp));
@@ -196,10 +236,9 @@ struct Featurizer {
       }
       if (found < 0) {
         ids->push_back(unk_id);
-        sizes->push_back((int32_t)chars.size());  // UNK eats the whole word…
-        // …but the reference records tokens_size=1 for UNK
-        // (data_process/dataset.py:60-69):
-        sizes->back() = 1;
+        // UNK eats the whole word, but the reference records
+        // tokens_size=1 for UNK (data_process/dataset.py:60-69).
+        sizes->push_back(1);
         return;
       }
       pieces.emplace_back(found, (int32_t)(found_end - start));
@@ -232,6 +271,15 @@ void* rtf_create(const char* vocab_path) {
     delete f;
     return nullptr;
   }
+  return f;
+}
+
+// do_lower_case=0 keeps case (the Python tokenizer's cased mode; the
+// caller must then also skip its host-side lower/accent normalization —
+// realise_tpu/data/native.py _normalize).
+void* rtf_create_ex(const char* vocab_path, int do_lower) {
+  auto* f = static_cast<Featurizer*>(rtf_create(vocab_path));
+  if (f) f->do_lower = do_lower != 0;
   return f;
 }
 

@@ -178,15 +178,26 @@ class Featurizer:
         if native is not None:
             enc = native.encode_batch(list(sentences), max_len=s)
             lengths = enc["lengths"]
+
+            def _sizes(i: int):
+                # Per-example python list, full token count — the contract
+                # make_example documents (lengths == len(tokens_size)).
+                # The (B, S) transport array holds at most S entries, so a
+                # TRUNCATED sentence (lengths > s-2) re-derives its full
+                # widths through the Python tokenizer (rare slow path; the
+                # ids arrays stay the native ones — identical by the
+                # native/Python parity contract).
+                n_tok = int(lengths[i])
+                if n_tok <= s - 2:
+                    return enc["tokens_size"][i][:n_tok].tolist()
+                return make_example(str(i), sentences[i], sentences[i],
+                                    self.tokenizer)["tokens_size"]
+
             batch = {
                 "id": [str(i) for i in range(len(sentences))],
                 "src": list(sentences),
                 "tgt": list(sentences),
-                # per-example python lists, trimmed to the true length
-                # (the padded (B, S) array is a transport format only).
-                "tokens_size": [
-                    enc["tokens_size"][i][: min(int(lengths[i]), s - 2)].tolist()
-                    for i in range(len(sentences))],
+                "tokens_size": [_sizes(i) for i in range(len(sentences))],
                 "lengths": lengths,
                 "src_idx": enc["src_idx"],
                 "masks": enc["masks"],

@@ -45,6 +45,8 @@ def _load():
     lib = ctypes.CDLL(_LIB_PATH)
     lib.rtf_create.restype = ctypes.c_void_p
     lib.rtf_create.argtypes = [ctypes.c_char_p]
+    lib.rtf_create_ex.restype = ctypes.c_void_p
+    lib.rtf_create_ex.argtypes = [ctypes.c_char_p, ctypes.c_int]
     lib.rtf_destroy.argtypes = [ctypes.c_void_p]
     lib.rtf_vocab_size.restype = ctypes.c_int
     lib.rtf_vocab_size.argtypes = [ctypes.c_void_p]
@@ -64,20 +66,29 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def _normalize(s: str) -> bytes:
+def _normalize(s: str, lower: bool = True) -> bytes:
     """Pre-normalize for the C++ tokenizer so its ids match the Python path
     beyond ASCII/CJK: the Python BasicTokenizer lowercases and NFD-strips
-    accents per word (tokenizer.py:84-85); the C++ side only lowercases
-    ASCII/Latin-1 and has no Unicode tables. Lowercase + accent-strip
-    commute with the (case/accent-invariant) splitting, so applying them to
-    the whole string first is equivalent. Lone surrogates (hostile JSON)
-    are dropped like the Python path drops control chars — they cannot be
-    UTF-8 encoded at all."""
+    accents per word (tokenizer.py:84-85) and drops every category-C
+    char (tokenizer.py _is_control: Cc/Cf/Co/Cn — bidi marks, ZWJ, soft
+    hyphen, BOM...); the C++ side only lowercases ASCII/Latin-1 and has
+    no Unicode tables, and — critically — reads the bytes with strlen, so
+    an embedded NUL (category Cc) would silently truncate the sentence.
+    Lowercase + accent-strip commute with the (case/accent-invariant)
+    splitting, so applying them to the whole string first is equivalent.
+    Lone surrogates (Cs, hostile JSON) cannot be UTF-8 encoded at all and
+    drop with the rest of category C; \\t\\n\\r stay — they are whitespace
+    to both tokenizers."""
     import unicodedata
 
-    s = unicodedata.normalize("NFD", s.lower())
+    if lower:
+        # Accent-stripping is gated on do_lower_case in the Python
+        # tokenizer too (tokenize(): lower + _strip_accents together).
+        s = unicodedata.normalize("NFD", s.lower())
+        s = "".join(ch for ch in s if unicodedata.category(ch) != "Mn")
     s = "".join(ch for ch in s
-                if unicodedata.category(ch) not in ("Mn", "Cs"))
+                if ch in "\t\n\r"
+                or not unicodedata.category(ch).startswith("C"))
     return s.encode("utf-8")
 
 
@@ -88,16 +99,20 @@ class NativeFeaturizer:
     contract as the Python featurizer (run.py:68-101 semantics).
     """
 
-    def __init__(self, vocab_path: str):
+    def __init__(self, vocab_path: str, do_lower_case: bool = True):
         lib = _load()
         if lib is None:
             raise RuntimeError(
                 "native featurizer unavailable (build/librealise_featurizer.so "
                 "missing and `make -C csrc` failed)")
         self._lib = lib
-        self._handle = lib.rtf_create(vocab_path.encode("utf-8"))
+        self._lower = do_lower_case
+        self._handle = lib.rtf_create_ex(vocab_path.encode("utf-8"),
+                                         1 if do_lower_case else 0)
         if not self._handle:
-            raise RuntimeError(f"failed to load vocab from {vocab_path}")
+            raise RuntimeError(
+                f"failed to load vocab from {vocab_path} (missing file or "
+                f"missing [UNK]/[CLS]/[SEP] specials)")
 
     def __del__(self):
         if getattr(self, "_handle", None):
@@ -110,7 +125,8 @@ class NativeFeaturizer:
 
     def encode_batch(self, sentences: Sequence[str], max_len: int) -> Dict[str, np.ndarray]:
         n = len(sentences)
-        arr = (ctypes.c_char_p * n)(*[_normalize(s) for s in sentences])
+        arr = (ctypes.c_char_p * n)(
+            *[_normalize(s, lower=self._lower) for s in sentences])
         src_idx = np.zeros((n, max_len), np.int32)
         masks = np.zeros((n, max_len), np.int32)
         loss_masks = np.zeros((n, max_len), np.int32)

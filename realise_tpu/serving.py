@@ -198,7 +198,9 @@ class Corrector:
                 import tempfile
 
                 vocab_path = self.tokenizer.save_pretrained(tempfile.mkdtemp())
-            self.native = NativeFeaturizer(vocab_path)
+            self.native = NativeFeaturizer(
+                vocab_path,
+                do_lower_case=self.tokenizer.basic.do_lower_case)
 
         tables = None
         if fast_path:

@@ -60,7 +60,11 @@ def load_vocab(vocab_file: str) -> Dict[str, int]:
     vocab: Dict[str, int] = {}
     with open(vocab_file, "r", encoding="utf-8") as f:
         for idx, line in enumerate(f):
-            token = line.rstrip("\n")
+            # rstrip CR too: a CRLF vocab.txt (Windows checkout) would
+            # otherwise load every token with a trailing '\r' — specials
+            # included, so even '[UNK]' lookups KeyError. The C++ loader
+            # (csrc/featurizer.cpp) already pops the '\r'.
+            token = line.rstrip("\r\n")
             vocab[token] = idx
     return vocab
 
