@@ -233,17 +233,25 @@ def evaluate_model(
     # processes write to process-suffixed paths instead.
     suffix = "" if is_main_process() else f".p{process_index()}"
     if label_path is None:
-        # Derive gold labels from the dataset's src/tgt texts. Year-13
-        # scoring filters 地/得 from the PREDICTION file (Metric.metric);
-        # the gold side must be filtered the same way or every sentence
-        # whose only edits are 地/得 becomes a guaranteed miss.
+        # Derive gold labels from the dataset's src/tgt texts.
         label_path = os.path.join(out_dir, prefix, f"gold.lbl.tsv{suffix}")
         with open(label_path, "w", encoding="utf-8") as f:
             f.write("\n".join(dataset_labels(dataset)))
-        if should_remove_de:
-            from realise_tpu.eval.remove_de import remove_de
+    if should_remove_de:
+        # Year-13 scoring filters 地/得 from the PREDICTION file
+        # (Metric.metric); the gold side must be filtered the same way or
+        # every sentence whose only edits are 地/得 becomes a guaranteed
+        # miss. Applied to PROVIDED label files too (via a filtered copy —
+        # never mutate the user's file): the reference scores a given
+        # file unfiltered (src/test.py:152-159), which only works because
+        # real SIGHAN13 truth barely annotates 地/得; filtering both
+        # sides is the protocol's stated intent and a no-op on such gold.
+        from realise_tpu.eval.remove_de import remove_de
 
-            remove_de(input_path=label_path, output_path=label_path)
+        filtered = os.path.join(out_dir, prefix,
+                                f"gold.remove_de.lbl.tsv{suffix}")
+        remove_de(input_path=label_path, output_path=filtered)
+        label_path = filtered
 
     batches = []
     losses = []

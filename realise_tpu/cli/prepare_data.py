@@ -104,8 +104,12 @@ def main(argv=None):
         if not args.vocab_path:
             raise SystemExit("--output_pkl requires --vocab_path")
         tokenizer = WordPieceTokenizer.from_pretrained(args.vocab_path)
-        examples = records_to_examples(records * args.repeat, tokenizer,
-                                       max_len=args.max_len)
+        # Tokenize once, then repeat: `records * N` would re-run the full
+        # WordPiece pass N times over identical text (the trainall.timesN
+        # flow doubles ~271k Wang271K records). Downstream reads examples
+        # immutably, so aliased repeats are fine.
+        examples = records_to_examples(records, tokenizer,
+                                       max_len=args.max_len) * args.repeat
         save_pkl_dataset(examples, args.output_pkl)
         logger.info("wrote %d examples to %s", len(examples), args.output_pkl)
     return 0

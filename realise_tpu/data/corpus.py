@@ -48,11 +48,15 @@ def full_to_half_width(text: str) -> str:
     (trainset.py:26-42)."""
     out = []
     for ch in text:
+        # Ideographic space first: U+3000 is NOT isalnum(), so checking it
+        # inside the alnum branch would never fire and truth positions
+        # indexed after ASCII-space stripping would shift.
+        if ch == "　":
+            out.append(" ")
+            continue
         if ch.isalnum() or ch in ("－", "．"):
             code = ord(ch)
-            if code == 0x3000:
-                code = 0x20
-            elif 0xFF01 <= code <= 0xFF5E:
+            if 0xFF01 <= code <= 0xFF5E:
                 code -= 0xFEE0
             ch = chr(code)
         out.append(ch)
@@ -154,13 +158,38 @@ def ensure_terminator(src: str, tgt: str) -> Tuple[str, str]:
 
 def compute_errors(src: str, tgt: str) -> List[Tuple[int, str]]:
     """1-based (pos, correct-char) diffs (trainset.py:578-583)."""
+    if len(src) != len(tgt):
+        # zip would silently truncate the tail, recording edits against
+        # shifted positions — misalignment is a data bug, not a diff.
+        raise ValueError(
+            f"src/tgt length mismatch ({len(src)} vs {len(tgt)})")
     return [(i, b) for i, (a, b) in enumerate(zip(src, tgt), start=1)
             if a != b]
 
 
+def _convert_aligned(t2s: Callable[[str], str], text: str) -> str:
+    """t2s that PRESERVES LENGTH: OpenCC's phrase-based conversion can
+    change length (multi-char phrase mappings); fall back to per-char
+    conversion — alignment with the paired sentence matters more than
+    phrase-context accuracy for the handful of affected chars."""
+    out = t2s(text)
+    if len(out) == len(text):
+        return out
+    out = "".join(t2s(ch) if len(t2s(ch)) == 1 else ch for ch in text)
+    if len(out) != len(text):  # pragma: no cover - 1->N single-char maps
+        raise ValueError("t2s conversion changed sentence length")
+    return out
+
+
 def clean_pair(src: str, tgt: str, t2s: Optional[Callable[[str], str]] = None,
                collapse_english: bool = True) -> Tuple[str, str]:
-    """Full cleaning pass over an aligned (src, tgt) pair."""
+    """Full cleaning pass over an aligned (src, tgt) pair.
+
+    Ends with the reference's forbidden-symbol invariant
+    (trainset.py:204-207): a surviving ``�``/ASCII-junk char means a
+    per-corpus fix (data/fixes.py) is missing — raise so the gap is
+    visible instead of training on mojibake.
+    """
     if len(src) != len(tgt):
         raise ValueError("src/tgt length mismatch before cleaning")
     src, tgt = normalize_punct(src), normalize_punct(tgt)
@@ -170,7 +199,14 @@ def clean_pair(src: str, tgt: str, t2s: Optional[Callable[[str], str]] = None,
     src, tgt = ensure_terminator(src, tgt)
     if t2s is None:
         t2s = make_t2s()
-    src, tgt = t2s(src), t2s(tgt)
+    src, tgt = _convert_aligned(t2s, src), _convert_aligned(t2s, tgt)
+    for s in (src, tgt):
+        bad = _FORBIDDEN.intersection(s)
+        if bad:
+            raise ValueError(
+                f"forbidden symbol(s) {sorted(bad)} survived cleaning in "
+                f"{s!r} — add a repair to data/fixes.py "
+                f"(reference invariant: trainset.py:204-207)")
     return src, tgt
 
 
@@ -257,7 +293,10 @@ def parse_sighan13_sample(text: str,
     """SIGHAN13 sample-set SGML (trainset.py:109-225)."""
     for old, new in _iter_fixes(text_fixes):
         text = text.replace(old, new)
-    text = re.sub(r"wrong_position=(\S*)>", r'wrong_position="\1">', text)
+    # Quote the UNQUOTED attribute only: \d+ leaves already-quoted values
+    # and same-line '<MISTAKE ...><WRONG>' layouts alone (a greedy \S*
+    # would swallow through the tag into the next element).
+    text = re.sub(r"wrong_position=(\d+)>", r'wrong_position="\1">', text)
     root = _wrap_xml(text)
     records = []
     t2s = t2s or make_t2s()

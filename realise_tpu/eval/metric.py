@@ -61,9 +61,10 @@ class Metric:
                 txt_lines.append(pred_txt)
                 lbl_lines.append(pred_lbl)
 
-        pred_dir = os.path.dirname(pred_lbl_path)
-        if pred_dir:
-            os.makedirs(pred_dir, exist_ok=True)
+        for path in (pred_lbl_path, pred_txt_path):
+            d = os.path.dirname(path)
+            if d:
+                os.makedirs(d, exist_ok=True)
         with open(pred_lbl_path, "w", encoding="utf-8") as f:
             f.write("\n".join(lbl_lines))
         with open(pred_txt_path, "w", encoding="utf-8") as f:
@@ -100,6 +101,13 @@ class Metric:
         pred_txt = f"{sid}\t{pred}"
 
         src = batch["src"][idx]
+        # Reference scoring semantics, kept verbatim (src/metric.py:65-66):
+        # when the reconstruction is shorter than the source — a truncated
+        # example, or a multi-char OOV span whose UNK records tokens_size=1
+        # (the reference's own convention, data_process/dataset.py:60-69)
+        # — the source tail is dropped before diffing. For the OOV case
+        # this shifts every later position; the reference does exactly the
+        # same, and published F1 comparability requires matching it.
         if len(src) > len(pred):
             src = src[: len(pred)]
         if len(pred) != len(src):

@@ -25,8 +25,15 @@ LabelItem = Tuple[str, List[Edit]]  # (sentence id, list of (1-based pos, char))
 
 
 def parse_label_line(line: str) -> LabelItem:
-    """Parse one SIGHAN label line into ``(id, [(pos, char), ...])``."""
-    parts = [p for p in line.strip().split(", ")]
+    """Parse one SIGHAN label line into ``(id, [(pos, char), ...])``.
+
+    Lenient comma split (``,`` with optional whitespace), matching the
+    corpus parser (data/corpus.py parse_sighan_test): raw truth files
+    without a space after commas — 'A2-0001-1,2,俊' — must not collapse
+    into a single bogus id."""
+    import re
+
+    parts = [p for p in re.split(r",\s*", line.strip())]
     sid = parts[0]
     if len(parts) == 2 and parts[1] == "0":
         return sid, []

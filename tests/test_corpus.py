@@ -281,3 +281,67 @@ def test_mistake_offsets_survive_internal_spaces():
     assert r["src"] == "我的朋有来了。"   # space removed aligned, post-apply
     assert r["tgt"] == "我的朋友来了。"   # 有→友 landed on the right char
     assert r["errors"] == [(4, "友")]
+
+
+def test_ideographic_space_converts_and_strips():
+    """U+3000 must become ASCII space (reference trainset.py:26-42) so the
+    downstream space-strip removes it before truth positions index into
+    src — review round 5 found the conversion branch unreachable."""
+    from realise_tpu.data.corpus import full_to_half_width
+
+    assert full_to_half_width("你　好") == "你 好"
+    assert full_to_half_width("ＡＢ１　。") == "AB1 。"
+
+
+def test_forbidden_symbols_raise():
+    """The reference's post-cleaning invariant (trainset.py:204-207):
+    surviving mojibake/ASCII junk raises instead of flowing into the
+    corpus."""
+    import pytest as _pytest
+
+    from realise_tpu.data.corpus import clean_pair
+
+    with _pytest.raises(ValueError, match="forbidden"):
+        clean_pair("你�好吗。", "你好好吗。", t2s=lambda s: s,
+                   collapse_english=False)
+    with _pytest.raises(ValueError, match="forbidden"):
+        clean_pair("你<好吗。", "你好好吗。", t2s=lambda s: s,
+                   collapse_english=False)
+
+
+def test_compute_errors_rejects_misaligned():
+    import pytest as _pytest
+
+    from realise_tpu.data.corpus import compute_errors
+
+    with _pytest.raises(ValueError, match="mismatch"):
+        compute_errors("你好", "你好吗")
+
+
+def test_t2s_alignment_fallback():
+    """A phrase-based converter that changes length falls back to aligned
+    per-char conversion."""
+    from realise_tpu.data.corpus import clean_pair
+
+    def bad_t2s(s):
+        # phrase conversion that drops a char on multi-char input
+        return s.replace("乾燥", "干") if len(s) > 1 else (
+            "干" if s == "乾" else s)
+
+    src, tgt = clean_pair("乾燥的天。", "乾燥的天。", t2s=bad_t2s,
+                          collapse_english=False)
+    assert src == tgt == "干燥的天。"
+    assert len(src) == 5
+
+
+def test_wrong_position_quoting_is_minimal():
+    """The attribute-quoting regex must leave quoted values and same-line
+    tag layouts intact (a greedy \\S* swallowed through the tag)."""
+    import re
+
+    pat = (r"wrong_position=(\d+)>", r'wrong_position="\1">')
+    fix = lambda t: re.sub(*pat, t)
+    assert fix('wrong_position=4>') == 'wrong_position="4">'
+    assert fix('wrong_position="4">') == 'wrong_position="4">'
+    assert (fix('<MISTAKE wrong_position=4><WRONG>寫</WRONG>')
+            == '<MISTAKE wrong_position="4"><WRONG>寫</WRONG>')

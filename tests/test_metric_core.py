@@ -134,3 +134,14 @@ def test_sig_test_tie_and_subsample_size():
     res = paired_bootstrap(targ, targ, targ, num_samples=10, seed=0)
     assert res["ties"] == 1.0
     assert res["wins_sys1"] == res["wins_sys2"] == 0.0
+
+
+def test_parse_label_line_lenient_commas():
+    """Raw truth files without a space after commas must parse like the
+    corpus-side parser does (review round 5: strict ', ' split collapsed
+    the whole line into a bogus id)."""
+    from realise_tpu.eval.metric_core import parse_label_line
+
+    assert parse_label_line("A2-0001-1,2,俊") == ("A2-0001-1", [(2, "俊")])
+    assert parse_label_line("A2-0002-2,0") == ("A2-0002-2", [])
+    assert parse_label_line("A2, 3, 好, 5, 吗") == ("A2", [(3, "好"), (5, "吗")])
