@@ -273,6 +273,15 @@ def main(argv=None):
                 epoch += 1
 
         stream = batches() if args.no_prefetch else threaded_prefetch(batches())
+        # Device-prefetch OUTSIDE fit: fit's internal wrapper would hold up
+        # to 2 in-flight batches when max_steps stops it, and the trace
+        # path below resumes the SAME stream — those batches would be
+        # dropped and steps after the trace would train on the wrong data
+        # (the deterministic resume contract maps step k to batch k).
+        from realise_tpu.data.dataset import prefetch_to_device
+
+        stream = prefetch_to_device(stream, size=2,
+                                    put_fn=trainer._put_batch)
 
         if args.trace_dir:
             # Profile a few steps first (jax.profiler trace for TensorBoard),
@@ -283,12 +292,14 @@ def main(argv=None):
             with trace(args.trace_dir):
                 trainer.fit(stream, max_steps=n_trace,
                             logging_steps=args.logging_steps,
-                            save_steps=args.save_steps, save_fn=save_fn)
+                            save_steps=args.save_steps, save_fn=save_fn,
+                            device_prefetch=0)
             logger.info("wrote profiler trace to %s", args.trace_dir)
 
         summary = trainer.fit(stream, max_steps=total_steps,
                               logging_steps=args.logging_steps,
-                              save_steps=args.save_steps, save_fn=save_fn)
+                              save_steps=args.save_steps, save_fn=save_fn,
+                              device_prefetch=0)
         logger.info("train summary: %s", summary)
         save_fn(trainer.train_state.step, trainer.train_state)
 

@@ -165,13 +165,13 @@ MODEL_PRESETS: Dict[str, Dict[str, Any]] = {
         out_num_layers=2),
     "bert-pho1-res": _preset(
         pho_encoder="pho1", res_encoder="resnet", fusion="merged",
-        out_num_layers=2, num_fonts=1),
+        out_num_layers=2, num_fonts=1, use_traditional_font=False),
     "bert-pho2-res": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="merged",
-        out_num_layers=2, num_fonts=1),
+        out_num_layers=2, num_fonts=1, use_traditional_font=False),
     "bert-pho2-res-arch2": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="concat",
-        out_num_layers=2, num_fonts=1),
+        out_num_layers=2, num_fonts=1, use_traditional_font=False),
     "bert-pho2-res-arch3": _preset(
         pho_encoder="pho2", res_encoder="resnet", fusion="gate",
         out_num_layers=3, zero_out_positions=True),

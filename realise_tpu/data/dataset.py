@@ -157,8 +157,6 @@ def synthetic_dataset(
     if len(cjk) < 8:
         raise ValueError("tokenizer vocab has too few CJK chars")
     if char_dist == "zipf":
-        import numpy as np
-
         # Frequency rank is independent of vocab order: shuffle so rank 0
         # isn't always the same codepoint across seeds.
         rng.shuffle(cjk)
@@ -271,25 +269,37 @@ def threaded_prefetch(iterator, size: int = 2):
     sentinel = object()
     stop = threading.Event()
 
+    class _Raise:
+        """Out-of-band error wrapper: a plain ('__error__', e) tuple could
+        collide with a legitimate 2-tuple item from a generic iterator."""
+
+        def __init__(self, exc):
+            self.exc = exc
+
+    def put_with_stop(item) -> bool:
+        """Bounded put that gives up when the consumer is gone — an
+        abandoned consumer (trainer hit max_steps mid-epoch, generator
+        closed) must release the thread instead of pinning buffered
+        batches + the live generator for the process lifetime. The
+        sentinel/error puts go through here too: an unbounded q.put on a
+        full queue with no consumer would block forever."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
     def worker():
         try:
             for item in iterator:
-                # Re-check stop around the bounded put so an abandoned
-                # consumer (trainer hit max_steps mid-epoch, generator
-                # closed) releases the thread instead of pinning buffered
-                # batches + the live generator for the process lifetime.
-                while not stop.is_set():
-                    try:
-                        q.put(item, timeout=0.2)
-                        break
-                    except queue_mod.Full:
-                        continue
-                if stop.is_set():
+                if not put_with_stop(item):
                     return
         except BaseException as e:  # propagate into the consumer
-            q.put(("__error__", e))
+            put_with_stop(_Raise(e))
         finally:
-            q.put(sentinel)
+            put_with_stop(sentinel)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -298,8 +308,8 @@ def threaded_prefetch(iterator, size: int = 2):
             item = q.get()
             if item is sentinel:
                 return
-            if isinstance(item, tuple) and len(item) == 2 and item[0] == "__error__":
-                raise item[1]
+            if isinstance(item, _Raise):
+                raise item.exc
             yield item
     finally:
         stop.set()

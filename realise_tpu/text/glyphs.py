@@ -122,8 +122,14 @@ def _procedural_glyph(char: str, size: int = GLYPH_SIZE,
     digest = hashlib.blake2b(key, digest_size=8).digest()
     bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8))  # 64 bits
     small = bits.reshape(8, 8).astype(np.float32) * 255.0
-    scale = size // 8
-    return np.kron(small, np.ones((scale, scale), dtype=np.float32))
+    scale = max(size // 8, 1)
+    img = np.kron(small, np.ones((scale, scale), dtype=np.float32))
+    if img.shape[0] != size:  # size not a multiple of 8: pad/crop to exact
+        out = np.zeros((size, size), dtype=np.float32)
+        n = min(size, img.shape[0])
+        out[:n, :n] = img[:n, :n]
+        return out
+    return img
 
 
 def _pil_glyph(font, char: str, size: int) -> np.ndarray:
@@ -194,6 +200,11 @@ def build_glyph_table(
     src/run.py:380-391): fonts are [simhei, xiaozhuan, simhei] and when
     ``use_traditional_font`` the last channel renders traditional variants.
     """
+    if num_fonts > 3:
+        raise ValueError(
+            f"num_fonts={num_fonts}: the font plan has 3 channels "
+            f"(simhei/xiaozhuan/traditional-simhei, src/models.py:738-746); "
+            f"a larger num_fonts would silently shape-mismatch the conv")
     if not font_paths:  # None or [] → procedural fallback on every channel
         font_paths = [None] * 3
     plan = [
@@ -201,7 +212,12 @@ def build_glyph_table(
         (font_paths[1] if len(font_paths) > 1 else None, False),   # xiaozhuan
         (font_paths[2] if len(font_paths) > 2 else font_paths[0], False),
     ][:num_fonts]
-    if use_traditional_font and plan:
+    # Traditional variants replace the LAST channel — only meaningful with
+    # ≥2 channels (the reference's fanti presets are font2_fanti /
+    # font3_fanti; font1 never renders traditional, run.py:380-391 — a
+    # single-font model must see the simplified glyphs its input text is
+    # written in).
+    if use_traditional_font and len(plan) >= 2:
         base = font_paths[0] if font_paths else None
         plan = plan[:-1] + [(base, True)]
 

@@ -607,7 +607,12 @@ class Trainer:
         ``device_prefetch`` keeps that many batches already transferred (and
         mesh-sharded) on device so host→device copies overlap compute —
         realise_tpu.data.dataset.prefetch_to_device with this trainer's
-        ``_put_batch``. 0 disables."""
+        ``_put_batch``. 0 disables. NOTE: when ``max_steps`` stops the
+        loop, up to that many in-flight batches are dropped — a caller
+        that resumes the SAME stream with a second fit() (cli/train's
+        trace path) must wrap the stream with prefetch_to_device ONCE
+        outside and pass ``device_prefetch=0``, or the resumed steps
+        train on the wrong batches."""
         from realise_tpu.data.dataset import prefetch_to_device
 
         from realise_tpu.utils.profiler import StepTimer

@@ -175,3 +175,50 @@ def test_featurize_truncation_keeps_sep(tokenizer):
     b2 = feat.featurize([ex2], seq_len=8)
     assert b2["src_idx"][0][3] == tokenizer.sep_token_id
     assert b2["loss_masks"][0].tolist() == [0, 1, 1, 0, 0, 0, 0, 0]
+
+
+def test_threaded_prefetch_abandoned_consumer_releases_thread():
+    """Closing the consumer generator mid-stream must release the worker
+    thread even when the queue is full (the sentinel put must not block
+    forever on a dead queue)."""
+    import threading
+    import time
+
+    from realise_tpu.data.dataset import threaded_prefetch
+
+    started = threading.active_count()
+    gen = threaded_prefetch(iter(range(100)), size=2)
+    assert next(gen) == 0
+    gen.close()  # sets stop; worker may be blocked mid-put with full queue
+    deadline = time.time() + 5.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.01)
+    assert threading.active_count() <= started
+
+
+def test_threaded_prefetch_tuple_items_pass_through():
+    """Generic 2-tuple items must not be mistaken for the in-band error
+    encoding (now an out-of-band wrapper class)."""
+    import numpy as np
+
+    from realise_tpu.data.dataset import threaded_prefetch
+
+    items = [("__error__", np.zeros(2)), ("a", 1)]
+    got = list(threaded_prefetch(iter(items), size=2))
+    assert len(got) == 2 and got[1] == ("a", 1)
+    assert got[0][0] == "__error__"
+
+
+def test_threaded_prefetch_propagates_errors():
+    import pytest as _pytest
+
+    from realise_tpu.data.dataset import threaded_prefetch
+
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    gen = threaded_prefetch(bad(), size=2)
+    assert next(gen) == 1
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(gen)

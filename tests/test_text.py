@@ -356,3 +356,42 @@ def test_tokenize_with_spans_matches_tokenize(tokenizer):
                 # lowercased/accent-stripped match of the source slice
                 src_norm = tokenizer.basic._strip_accents(text[a:b].lower())
                 assert src_norm == piece or text[a:b] == piece, (text, tok)
+
+
+def test_single_font_never_renders_traditional():
+    """font1-style configs must see SIMPLIFIED glyphs: the traditional
+    substitution applies to the last of >=2 channels only (reference
+    run.py:380-391 — font1 sets use_traditional_font False; review round
+    5 found a lone channel being replaced wholesale)."""
+    import numpy as np
+
+    from realise_tpu.text.glyphs import build_glyph_table
+
+    vocab = ["[PAD]", "你", "好"]
+    one_trad = build_glyph_table(vocab, num_fonts=1,
+                                 use_traditional_font=True)
+    one_plain = build_glyph_table(vocab, num_fonts=1,
+                                  use_traditional_font=False)
+    np.testing.assert_array_equal(one_trad, one_plain)
+    # config parity: the single-font presets pin the flag off.
+    from realise_tpu.config import config_for
+
+    for name in ("bert-pho1-res", "bert-pho2-res", "bert-pho2-res-arch2"):
+        cfg = config_for(name, vocab_size=100)
+        assert cfg.num_fonts == 1 and not cfg.use_traditional_font, name
+
+
+def test_glyph_table_rejects_too_many_fonts():
+    import pytest as _pytest
+
+    from realise_tpu.text.glyphs import build_glyph_table
+
+    with _pytest.raises(ValueError, match="num_fonts"):
+        build_glyph_table(["你"], num_fonts=4)
+
+
+def test_procedural_glyph_exact_size():
+    from realise_tpu.text.glyphs import _procedural_glyph
+
+    for size in (8, 16, 20, 32, 5):
+        assert _procedural_glyph("你", size).shape == (size, size)
