@@ -207,4 +207,13 @@ def config_for(model_type: str, **overrides) -> RealiseConfig:
     kw = dict(MODEL_PRESETS[model_type])
     kw["model_type"] = model_type
     kw.update(overrides)
-    return RealiseConfig(**kw)
+    cfg = RealiseConfig(**kw)
+    if cfg.fusion == "merged" and not (cfg.with_pho or cfg.with_res):
+        # Would reach concat_fusion with a None stream deep inside
+        # apply_realise — fail here with a config error instead.
+        raise ValueError(
+            f"{model_type!r} with fusion='merged' needs at least one of the "
+            f"pho/res streams (got pho_encoder={cfg.pho_encoder!r}, "
+            f"res_encoder={cfg.res_encoder!r}); use fusion='baseline' for "
+            f"a semantic-only model")
+    return cfg

@@ -197,6 +197,13 @@ def install_glyphs(state: Dict, glyphs) -> Dict:
     train time; no inverse entry points at padding)."""
     glyphs_np = np.asarray(glyphs, np.float32)
     state["char_images"] = jnp.asarray(glyphs_np)
+    # Drop any PREVIOUS install's dedup tables first: _factorized_conv
+    # prefers them over char_images, so a re-install that takes the
+    # no-dedup early return below would otherwise leave the conv stream
+    # silently reading the OLD glyphs (e.g. the init-time zero
+    # placeholder) forever.
+    for k in ("res_uniq_images_nhwc", "res_uniq_images", "res_uniq_inverse"):
+        state.pop(k, None)
     v = glyphs_np.shape[0]
     flat = np.ascontiguousarray(glyphs_np.reshape(v, -1))
     # Bitwise row dedup via a void view (memcmp sort, one-time at init).
@@ -1051,7 +1058,12 @@ def apply_pretrain(
         hidden = gru_h.reshape(b, s, cfg.hidden_size)
 
     if cfg.with_res:
-        if factorized:
+        # Gate the CONV factorization on the glyph row count, not the pho
+        # one (the two tables dedup independently — apply_realise gates
+        # them separately too): with an undeduped glyph table (G == V),
+        # pho-driven factorization would convolve all V vocab rows for a
+        # much smaller token batch.
+        if b * s > res_conv_rows(state):
             feats, res_bn = _factorized_conv(params["res"]["resnet"], state,
                                              batch["src_idx"], train, cfg,
                                              dtype)

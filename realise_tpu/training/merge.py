@@ -12,8 +12,17 @@ same surgery is pytree-structural, with the same effective semantics.
 
 from __future__ import annotations
 
-import copy
 from typing import Any, Dict, Optional, Tuple
+
+
+def _tree_copy(t):
+    """Rebuild dict SPINES only: the leaves are immutable (jax/numpy)
+    arrays, so aliasing them is safe and a deepcopy would transiently
+    duplicate every buffer in the model (~hundreds of MB with the frozen
+    glyph tensor) just to graft a small subtree."""
+    if isinstance(t, dict):
+        return {k: _tree_copy(v) for k, v in t.items()}
+    return t
 
 
 def merge_params(
@@ -40,11 +49,11 @@ def merge_params(
       fonts, so rebuilding at startup equals the reference's multifont
       checkpoints carrying them.
     """
-    params = copy.deepcopy(base_params)
-    state = copy.deepcopy(base_state)
+    params = _tree_copy(base_params)
+    state = _tree_copy(base_state)
 
     if pho_params is not None and "pho" in pho_params:
-        overlay = copy.deepcopy(pho_params["pho"])
+        overlay = _tree_copy(pho_params["pho"])
         if keep_base_position_embeddings and "pho" in params:
             base_emb = params["pho"].get("model", {}).get("embeddings", {})
             over_emb = overlay.get("model", {}).get("embeddings", {})
@@ -55,9 +64,9 @@ def merge_params(
     if res_params is not None and "res" in res_params:
         if "res" not in params:
             params["res"] = {}
-        params["res"]["resnet"] = copy.deepcopy(res_params["res"]["resnet"])
+        params["res"]["resnet"] = _tree_copy(res_params["res"]["resnet"])
         if res_state is not None and "resnet" in res_state:
-            state["resnet"] = copy.deepcopy(res_state["resnet"])
+            state["resnet"] = _tree_copy(res_state["resnet"])
 
     return params, state
 
@@ -74,6 +83,6 @@ def graft_mlm_head_from_hf(params: Dict[str, Any],
     decoder bias instead of propagating None into dense())."""
     from realise_tpu.models.torch_import import _import_mlm_head
 
-    params = copy.deepcopy(params)
+    params = _tree_copy(params)
     params["head"] = _import_mlm_head(hf_state_dict, "cls")
     return params

@@ -20,19 +20,32 @@ import optax
 
 
 def decay_mask(params):
-    """True for leaves that receive weight decay: everything except biases and
-    layer-norm scales (and BN params, which torch also names *.weight/bias)."""
+    """True for leaves that receive weight decay.
+
+    Mirrors the reference's substring filter
+    ``no_decay = ['bias', 'LayerNorm.weight']`` over torch names
+    (run.py:146-151):
+
+    * every bias is excluded — including the GRU's, whose torch names
+      ('gru.bias_ih_l0'/'bias_hh_l0') contain 'bias' but whose leaves
+      here are ``b_ih``/``b_hh``;
+    * LayerNorm scale+bias are excluded;
+    * BatchNorm SCALES are decayed — torch names them 'bn1.weight',
+      which matches neither reference pattern (their biases stay
+      excluded via the bias rule). One knowing deviation: the
+      reference's arch2 ``resnet_layernorm.weight`` evades its own
+      case-sensitive 'LayerNorm.weight' filter and gets decayed; we
+      exclude every layer-norm uniformly.
+    """
 
     def is_decay(path, leaf):
         names = []
         for p in path:
             names.append(str(getattr(p, "key", getattr(p, "idx", p))))
         leaf_name = names[-1] if names else ""
-        if leaf_name == "bias":
+        if leaf_name in ("bias", "b_ih", "b_hh"):
             return False
-        if "layer_norm" in names:  # scale+bias of LN
-            return False
-        if any(n.startswith("bn") or n == "shortcut_bn" for n in names):
+        if any("layer_norm" in n for n in names):  # scale+bias of LN
             return False
         return True
 

@@ -530,3 +530,36 @@ def test_conv_slot_buckets_properties():
     # Tiny tables/batches: no compact program is worth a second compile.
     assert conv_slot_buckets(400, 96) == []
     assert conv_slot_buckets(2048, 1024) == []
+
+
+def test_install_glyphs_reinstall_clears_stale_dedup():
+    """Re-installing glyphs that DON'T dedup (>75% unique) must drop a
+    previous install's dedup tables — _factorized_conv prefers them, so
+    stale tables would silently convolve the OLD glyphs forever."""
+    import numpy as np
+
+    from realise_tpu.models.realise import install_glyphs, res_conv_rows
+
+    rng = np.random.RandomState(0)
+    v = 64
+    # First: highly-shared glyphs (dedup engages).
+    shared = np.zeros((v, 1, 8, 8), np.float32)
+    shared[:4] = rng.randn(4, 1, 8, 8)
+    state = install_glyphs({}, shared)
+    assert "res_uniq_images_nhwc" in state
+    # Re-install with all-distinct glyphs (dedup skipped): the stale
+    # tables must be gone and the row count must be the full vocab.
+    distinct = rng.randn(v, 1, 8, 8).astype(np.float32)
+    state = install_glyphs(state, distinct)
+    assert "res_uniq_images_nhwc" not in state
+    assert "res_uniq_inverse" not in state
+    assert res_conv_rows(state) == v
+
+
+def test_merged_fusion_without_streams_rejected():
+    import pytest as _pytest
+
+    from realise_tpu.config import config_for
+
+    with _pytest.raises(ValueError, match="merged"):
+        config_for("bert-pho2", pho_encoder="none")

@@ -158,13 +158,22 @@ def test_param_shardings_tp_rules(tokenizer):
 
 # ------------------------------------------------------------- optimizer
 def test_decay_mask_excludes_bias_and_norms(tokenizer):
+    """Reference filter semantics (run.py:146-151: substring match over
+    torch names for 'bias' / 'LayerNorm.weight'): ALL biases excluded —
+    GRU b_ih/b_hh included, their torch names contain 'bias' — LN scales
+    excluded, but BN scales DECAYED (torch 'bn1.weight' matches neither
+    pattern)."""
     cfg, params, _, _ = _setup(tokenizer)
     mask = decay_mask(params)
     assert mask["bert"]["encoder"]["attention"]["query"]["kernel"] is True
     assert mask["bert"]["encoder"]["attention"]["query"]["bias"] is False
     assert mask["bert"]["embeddings"]["layer_norm"]["scale"] is False
     assert mask["res"]["resnet"]["block1"]["conv1"]["kernel"] is True
-    assert mask["res"]["resnet"]["block1"]["bn1"]["scale"] is False
+    assert mask["res"]["resnet"]["block1"]["bn1"]["scale"] is True
+    assert mask["res"]["resnet"]["block1"]["bn1"]["bias"] is False
+    assert mask["pho"]["gru"]["w_ih"] is True
+    assert mask["pho"]["gru"]["b_ih"] is False
+    assert mask["pho"]["gru"]["b_hh"] is False
 
 
 def test_scheduled_lr_reaches_update(tokenizer):
