@@ -145,12 +145,18 @@ def build_config(args, vocab_size: int) -> RealiseConfig:
     return config_for(args.model_type, **overrides)
 
 
-def build_tokenizer(args) -> WordPieceTokenizer:
-    path = args.vocab_path
-    if path is None and args.data_dir:
-        cand = os.path.join(args.data_dir, "vocab.txt")
+def resolve_vocab_path(vocab_path, data_dir):
+    """--vocab_path, else data_dir/vocab.txt when present (shared by the
+    tokenizer builder and the serving CLIs)."""
+    if vocab_path is None and data_dir:
+        cand = os.path.join(data_dir, "vocab.txt")
         if os.path.exists(cand):
-            path = cand
+            return cand
+    return vocab_path
+
+
+def build_tokenizer(args) -> WordPieceTokenizer:
+    path = resolve_vocab_path(args.vocab_path, args.data_dir)
     if path:
         return WordPieceTokenizer.from_pretrained(path)
     if not args.synthetic:

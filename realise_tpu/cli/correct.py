@@ -48,17 +48,12 @@ def main(argv=None):
     setup_logging(verbose=False)
     force_platform(args.platform)
 
+    from realise_tpu.cli.common import resolve_vocab_path
     from realise_tpu.serving import Corrector
 
-    vocab_path = args.vocab_path
-    if vocab_path is None and args.data_dir:
-        import os
-
-        cand = os.path.join(args.data_dir, "vocab.txt")
-        vocab_path = cand if os.path.exists(cand) else None
-
     corrector = Corrector(
-        args.ckpt_dir, vocab_path=vocab_path,
+        args.ckpt_dir,
+        vocab_path=resolve_vocab_path(args.vocab_path, args.data_dir),
         batch_size=args.batch_size, use_pallas=args.use_pallas,
         fast_path=not args.no_fast_path,
         native_featurizer=args.native_featurizer,
@@ -66,6 +61,25 @@ def main(argv=None):
     if corrector.native is not None:
         logger.info("using native C++ featurizer (%d-token vocab)",
                     corrector.native.vocab_size)
+
+    if args.input is None and sys.stdin.isatty():
+        # Truly interactive: correct per line as typed — buffering to EOF
+        # would print nothing until Ctrl-D.
+        corrector.warmup()
+        print("enter sentences (Ctrl-D to finish):", file=sys.stderr)
+        for ln in sys.stdin:
+            s = ln.strip()
+            if not s:
+                continue
+            if args.show_edits:
+                r = corrector.correct_with_edits([s])[0]
+                edits = [f"{e['pos']}:{e['wrong']}→{e['correct']}"
+                         for e in r["edits"]]
+                print(f"{r['corrected']}\t{' '.join(edits) if edits else '-'}",
+                      flush=True)
+            else:
+                print(corrector.correct([s])[0], flush=True)
+        return 0
 
     source = open(args.input, encoding="utf-8") if args.input else sys.stdin
     sentences = [ln.strip() for ln in source if ln.strip()]

@@ -53,6 +53,17 @@ def load_spec(path: str) -> Dict:
         raise SystemExit(
             f"{path}: could not parse an experiment spec ("
             + ("; ".join(errors) or "empty document") + ")")
+    for key in ("params", "command"):
+        if key not in spec:
+            raise SystemExit(
+                f"{path}: experiment spec is missing required key "
+                f"{key!r} (has: {sorted(spec)})")
+    if not isinstance(spec["params"], list) or not all(
+            isinstance(p, dict) and "name" in p and "values" in p
+            for p in spec["params"]):
+        raise SystemExit(
+            f"{path}: 'params' must be a list of "
+            "{{name: ..., values: [...]}} entries")
     return spec
 
 

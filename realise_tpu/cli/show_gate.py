@@ -61,7 +61,6 @@ def main(argv=None):
     params = jax.tree.map(jax.numpy.asarray, restored["params"])
     state = jax.tree.map(jax.numpy.asarray, restored["state"])
 
-    args.font_paths = None
     tokenizer = build_tokenizer(args)
     featurizer = Featurizer(tokenizer, cfg)
     data = load_dataset(args, tokenizer, args.test_file, num_synthetic=32,
@@ -86,8 +85,11 @@ def main(argv=None):
     # class as the round-1 eval crash, cli/common.py evaluate_model).
     for examples in batch_iterator(data, args.batch_size, pad_final=False):
         host = featurizer.featurize(pad_examples(examples, args.batch_size))
+        # astype: bf16 checkpoints yield ml_dtypes.bfloat16 scalars, whose
+        # f-string float formatting raises ValueError.
         gates = np.asarray(gate_step(params, state,
-                                     featurizer.device_batch(host)))
+                                     featurizer.device_batch(host))
+                           ).astype(np.float32)
         for i, ex in enumerate(examples):
             # Truncated examples keep untruncated `lengths`; only S-2
             # content positions exist (same cap as eval/metric.py).

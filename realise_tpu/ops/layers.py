@@ -109,6 +109,12 @@ _GATHER_BWD_CHUNK = 4096
 # const 2.3 ms from permuting the (N,H) cotangent). Env forces one:
 # REALISE_TPU_GATHER_BWD=onehot|sort_segment|auto.
 TABLE_GATHER_BWD = os.environ.get("REALISE_TPU_GATHER_BWD", "auto")
+if TABLE_GATHER_BWD not in ("auto", "onehot", "sort_segment"):
+    # A typo'd override would otherwise silently fall through to onehot —
+    # a measured 3x backward regression on large tables with no signal.
+    raise ValueError(
+        f"REALISE_TPU_GATHER_BWD={TABLE_GATHER_BWD!r}: expected "
+        f"'auto', 'onehot' or 'sort_segment'")
 _GATHER_AUTO_SORT_MIN_V = 8192
 
 

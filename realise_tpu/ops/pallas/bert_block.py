@@ -85,9 +85,11 @@ def attention_block(x: jax.Array, attn_params, bias: jax.Array,
     if interpret is None:
         interpret = _default_interpret()
     if block_b is None:
+        itemsize = jnp.dtype(x.dtype).itemsize  # f32 activations need 2x
         for cand in (4, 2, 1):
-            # qkv+ctx+scores working set ≈ cand·(5 bufs · S·H·2B + S²·4B)
-            if b % cand == 0 and cand * (5 * s * hdim * 2 + s * s * 4) < 6e6:
+            # qkv+ctx+scores working set ≈ cand·(5 bufs · S·H·isz + S²·4B)
+            if (b % cand == 0
+                    and cand * (5 * s * hdim * itemsize + s * s * 4) < 6e6):
                 block_b = cand
                 break
         else:
@@ -174,6 +176,14 @@ def ffn_block(x: jax.Array, ffn_params, eps: float = 1e-12,
     dtype = x.dtype
     if n_splits is None:
         n_splits = 1 if jnp.dtype(dtype).itemsize <= 2 else 2
+        if isz_total % n_splits:
+            n_splits = 1
+    if isz_total % n_splits:
+        # The (b, n_splits) grid would silently drop the last
+        # isz_total % n_splits intermediate columns from the FFN.
+        raise ValueError(
+            f"n_splits={n_splits} does not divide "
+            f"intermediate_size={isz_total}")
     isz = isz_total // n_splits
     w1 = ffn_params["intermediate"]["kernel"].astype(dtype)
     w2 = ffn_params["output"]["kernel"].astype(dtype)
