@@ -145,6 +145,25 @@ def build_config(args, vocab_size: int) -> RealiseConfig:
     return config_for(args.model_type, **overrides)
 
 
+def zero_padding_loss(feed, n_real: int, row0: int = 0):
+    """Zero ``loss_masks`` for padded duplicate rows (global rows ≥
+    ``n_real``; ``row0`` = this process's first global row).
+
+    Shared by eval AND the training streams: padding rows repeat real
+    examples, and counting their loss tokens over-weights one example by
+    up to batch_size−1× (training) or skews the dataset-mean loss (eval).
+    """
+    rows = feed["loss_masks"].shape[0]
+    if n_real >= row0 + rows:
+        return feed
+    feed = dict(feed)
+    lm = np.array(feed["loss_masks"], copy=True)
+    cut = max(0, min(n_real - row0, rows))
+    lm[cut:] = 0
+    feed["loss_masks"] = lm
+    return feed
+
+
 def resolve_vocab_path(vocab_path, data_dir):
     """--vocab_path, else data_dir/vocab.txt when present (shared by the
     tokenizer builder and the serving CLIs)."""
@@ -287,18 +306,10 @@ def evaluate_model(
             feed = host_batch
             row0 = 0
         # Padded rows repeat real examples; zero their loss positions so the
-        # device-side loss (sum/count) covers REAL tokens only — otherwise
-        # the padded rows' duplicates skew the mean. Unconditional: besides
+        # device-side loss (sum/count) covers REAL tokens only — besides
         # the final short batch (n < batch_size), local_slice pads FULL
-        # batches too whenever process_count does not divide batch_size,
-        # and those extra global rows (≥ n == batch_size) must be zeroed
-        # as well.
-        if n < row0 + feed["loss_masks"].shape[0]:
-            feed = dict(feed)
-            lm = np.array(feed["loss_masks"], copy=True)
-            cut = max(0, min(n - row0, lm.shape[0]))
-            lm[cut:] = 0
-            feed["loss_masks"] = lm
+        # batches too whenever process_count does not divide batch_size.
+        feed = zero_padding_loss(feed, n, row0)
         out = trainer.eval_step(featurizer.device_batch(feed))
         host_batch["pred_idx"] = np.asarray(out["pred_idx"])[:n]
         for k in ("src_idx", "masks", "loss_masks"):

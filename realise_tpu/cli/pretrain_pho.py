@@ -27,9 +27,11 @@ from realise_tpu.cli.common import (
     load_dataset,
     setup_logging,
     write_json,
+    zero_padding_loss,
     logger,
 )
-from realise_tpu.data.dataset import batch_iterator
+from realise_tpu.parallel.distributed import is_main_process
+from realise_tpu.data.dataset import batch_iterator, pad_examples
 from realise_tpu.data.features import Featurizer
 from realise_tpu.models.realise import init_pretrain
 from realise_tpu.training.checkpoint import save_checkpoint
@@ -57,21 +59,13 @@ def token_accuracy(trainer, data, featurizer, batch_size=64):
     losses = []
     # Unpadded iteration + per-device padding: padded duplicate rows must
     # not inflate the token counts (same bug class as the round-1 eval).
-    from realise_tpu.data.dataset import pad_examples
-
     weights = []
     for examples in batch_iterator(data, batch_size, pad_final=False):
         n = len(examples)
         host = featurizer.featurize_pho_pretrain(
             pad_examples(examples, batch_size))
         feed = featurizer.device_batch(host)
-        if n < batch_size:
-            # Duplicated padding rows must not count toward the device-side
-            # loss either (same treatment as evaluate_model).
-            feed = dict(feed)
-            lm = np.array(feed["loss_masks"], copy=True)
-            lm[n:] = 0
-            feed["loss_masks"] = lm
+        feed = zero_padding_loss(feed, n)
         out = trainer.eval_step(feed)
         preds = np.asarray(out["pred_idx"])[:n]
         mask = host["loss_masks"][:n].astype(bool)
@@ -103,6 +97,10 @@ def main(argv=None):
     batch_size = args.per_device_train_batch_size
     if mesh is not None and "data" in mesh.axis_names:
         batch_size *= mesh.shape["data"]
+    # Reference flag semantics (pretrain_pho.sh: bs 64, accum 2 -> UPDATE
+    # batch 128): the Trainer takes the full update batch per step and
+    # microbatches in-jit, so the stream must yield bs x accum examples.
+    batch_size *= args.gradient_accumulation_steps
 
     trainer = Trainer(cfg, params, state,
                       learning_rate=args.learning_rate,
@@ -119,9 +117,12 @@ def main(argv=None):
         epoch = 0
         while True:
             for ex in batch_iterator(train_data, batch_size, shuffle=True,
-                                     seed=args.seed + epoch):
-                yield featurizer.device_batch(
-                    featurizer.featurize_pho_pretrain(ex))
+                                     seed=args.seed + epoch,
+                                     pad_final=False):
+                n = len(ex)
+                feed = featurizer.featurize_pho_pretrain(
+                    pad_examples(ex, batch_size))
+                yield featurizer.device_batch(zero_padding_loss(feed, n))
             epoch += 1
 
     def save_fn(step, ts):
@@ -138,7 +139,8 @@ def main(argv=None):
                        seed=args.seed + 1)
     res = token_accuracy(trainer, dev, featurizer)
     logger.info("pho-pretrain dev: %s", res)
-    write_json(f"{args.output_dir}/dev_results.json", res)
+    if is_main_process():
+        write_json(f"{args.output_dir}/dev_results.json", res)
     return 0
 
 

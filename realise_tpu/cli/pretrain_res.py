@@ -120,7 +120,11 @@ def main(argv=None):
         correct += int((preds.reshape(-1)[:n] == chunk[:n]).sum())
     acc = correct / max(len(char_ids), 1)
     logger.info("res-pretrain accuracy: %.4f", acc)
-    write_json(f"{args.output_dir}/dev_results.json", {"accuracy": acc})
+    from realise_tpu.parallel.distributed import is_main_process
+
+    if is_main_process():
+        write_json(f"{args.output_dir}/dev_results.json",
+                   {"accuracy": acc})
     return 0
 
 

@@ -78,6 +78,13 @@ def main(argv=None):
         # The ckpt_dir may itself be a checkpoint directory.
         if not os.path.exists(os.path.join(args.ckpt_dir, "ckpt")):
             raise SystemExit(f"no checkpoints found under {args.ckpt_dir}")
+        if args.ckpt_num != -1:
+            # Silently evaluating THIS directory would attribute results
+            # to the wrong step.
+            raise SystemExit(
+                f"--ckpt_num {args.ckpt_num} given, but {args.ckpt_dir} is "
+                f"itself a checkpoint directory (no saved_ckpt-* children "
+                f"to select from)")
         step, ckpt_path = -1, args.ckpt_dir
 
     cfg = load_config(ckpt_path)
@@ -120,7 +127,10 @@ def main(argv=None):
                          should_remove_de=(args.testset_year == 13))
     for k in sorted(res):
         print(f"{k}: {res[k]:.4f}" if isinstance(res[k], float) else f"{k}: {res[k]}")
-    write_json(os.path.join(out_dir, "test_results.json"), res)
+    from realise_tpu.parallel.distributed import is_main_process
+
+    if is_main_process():
+        write_json(os.path.join(out_dir, "test_results.json"), res)
     return 0
 
 

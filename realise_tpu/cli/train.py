@@ -30,11 +30,13 @@ from realise_tpu.cli.common import (
     load_dataset,
     setup_logging,
     write_json,
+    zero_padding_loss,
     logger,
 )
 from realise_tpu.data.dataset import (
     batch_iterator,
     bucketed_batch_iterator,
+    pad_examples,
     threaded_prefetch,
 )
 from realise_tpu.data.features import Featurizer
@@ -130,6 +132,7 @@ def main(argv=None):
         is_main_process,
         local_slice,
         process_count,
+        process_index,
     )
 
     if not (args.do_train or args.do_eval or args.do_predict):
@@ -179,14 +182,23 @@ def main(argv=None):
     batch_size = args.per_device_train_batch_size
     if mesh is not None and "data" in mesh.axis_names:
         batch_size *= mesh.shape["data"]
+    # Reference flag semantics (run.py:193-207): the loader batch is the
+    # MICRO batch and the optimizer steps once per `accum` loader batches,
+    # so the UPDATE batch is bs × accum. Our Trainer takes the full update
+    # batch per step and microbatches it in-jit — so the stream must yield
+    # bs × accum examples per step or accum would silently HALVE the
+    # effective batch (and data consumed) vs the reference recipe.
+    batch_size *= args.gradient_accumulation_steps
     if batch_size % process_count():
         raise SystemExit(
             f"global batch {batch_size} must divide evenly across "
             f"{process_count()} processes")
-    steps_per_epoch = max(len(train_data) // batch_size, 1)
+    # ceil: the stream pads (never drops) the final short batch of each
+    # epoch, so it yields ceil(len/bs) optimizer steps per epoch — the
+    # resume fast-forward below indexes into exactly that stream.
+    steps_per_epoch = max(-(-len(train_data) // batch_size), 1)
     total_steps = (args.max_steps if args.max_steps > 0
-                   else int(steps_per_epoch * args.num_train_epochs
-                            / args.gradient_accumulation_steps))
+                   else int(steps_per_epoch * args.num_train_epochs))
 
     trainer = Trainer(
         cfg, params, state,
@@ -257,18 +269,29 @@ def main(argv=None):
                           bucketed_batch_iterator(train_data, batch_size,
                                                   buckets=buckets,
                                                   shuffle=True,
-                                                  seed=args.seed + epoch))
+                                                  seed=args.seed + epoch,
+                                                  pad_final=False))
                 else:
                     it = ((None, examples) for examples in
                           batch_iterator(train_data, batch_size,
                                          shuffle=True,
-                                         seed=args.seed + epoch))
+                                         seed=args.seed + epoch,
+                                         pad_final=False))
                 for i, (seq_len, examples) in enumerate(it):
                     if i < skip:
                         continue  # pre-featurization: skipping is free
                     kw = {"seq_len": seq_len} if seq_len else {}
-                    yield featurizer.device_batch(
-                        featurizer.featurize(local_slice(examples), **kw))
+                    # Pad the final short batch HERE (static shapes) and
+                    # zero the padding rows' loss: counting the duplicate
+                    # rows would over-weight one example's gradient up to
+                    # batch_size-1x once per epoch.
+                    n = len(examples)
+                    padded = pad_examples(examples, batch_size)
+                    sliced = local_slice(padded)
+                    feed = featurizer.featurize(sliced, **kw)
+                    row0 = process_index() * len(sliced)
+                    feed = zero_padding_loss(feed, n, row0)
+                    yield featurizer.device_batch(feed)
                 skip = 0
                 epoch += 1
 

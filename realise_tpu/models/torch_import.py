@@ -256,10 +256,8 @@ def import_realise_state_dict(
     if cfg.with_res and any(k.startswith("resnet.") for k in sd):
         # Block count from the keys themselves (CharResNet has 5,
         # CharResNet1 has 4 — src/char_cnn.py:40-44,61-73).
-        import re as _re
-
         num_blocks = max(int(m.group(1)) for k in sd
-                         if (m := _re.match(r"resnet\.res_block(\d+)\.", k)))
+                         if (m := re.match(r"resnet\.res_block(\d+)\.", k)))
         res_p, res_s = import_char_resnet(sd, "resnet.", num_blocks)
         params["res"] = {"resnet": res_p}
         if "resnet_layernorm.weight" in sd:
@@ -306,6 +304,12 @@ def overlay_params(base: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, 
     fine-tune time (they are simply missing keys for from_pretrained,
     reference: merge.py:5-38 + run.py:429-430) — so absent subtrees keep the
     base initialization.
+
+    When the overlay replaces ``char_images`` (a checkpoint carrying its
+    own glyph tensor), the dedup tables are re-derived from it: the conv
+    stream PREFERS ``res_uniq_images_nhwc``/``res_uniq_inverse``
+    (models/realise.py _factorized_conv), so leaving the init-time tables
+    in place would silently convolve the OLD glyphs forever.
     """
     out = dict(base)
     for k, v in imported.items():
@@ -313,6 +317,10 @@ def overlay_params(base: Dict[str, Any], imported: Dict[str, Any]) -> Dict[str, 
             out[k] = overlay_params(out[k], v)
         else:
             out[k] = v
+    if "char_images" in imported and "resnet" in out:
+        from realise_tpu.models.realise import install_glyphs
+
+        out = install_glyphs(dict(out), imported["char_images"])
     return out
 
 

@@ -227,8 +227,19 @@ def retain_top_k(
     delete: bool = True,
 ) -> List[str]:
     """Keep the k best checkpoint dirs by score; optionally delete the rest
-    (run.py:473-505). Returns the kept dirs, best first."""
-    ranked = sorted(scored, key=lambda t: t[1], reverse=reverse)
+    (run.py:473-505). Returns the kept dirs, best first. NaN scores (a
+    diverged checkpoint's dev metric) always rank WORST — plain sorted()
+    would leave their position undefined and could delete a good
+    checkpoint while keeping the unusable one."""
+    import math
+
+    def key(t):
+        s = t[1]
+        if isinstance(s, float) and math.isnan(s):
+            return float("-inf") if reverse else float("inf")
+        return s
+
+    ranked = sorted(scored, key=key, reverse=reverse)
     keep = [d for d, _ in ranked[:k]]
     if delete:
         for d, _ in ranked[k:]:
